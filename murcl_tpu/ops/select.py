@@ -1,0 +1,163 @@
+"""Cluster-window sub-bag selection ("WSI-Fset") as a pure on-device gather.
+
+Reference semantics (``utils/datasets.py:274-308``), per bag with ``N``
+patches, ``K`` clusters, action ``a in [0,1]^K`` and target size ``F``:
+
+- ``ratio = F / N``
+- per cluster ``c`` with ``n_c`` members: window size
+  ``s_c = round(n_c * ratio)`` (round-half-to-even, like ``torch.round``),
+  window start ``l_c = floor(a_c * (n_c - s_c))``
+- take the *contiguous slice* ``cluster_c[l_c : l_c + s_c]`` of the
+  (k-means order) index list — Python slice semantics, including negative
+  starts when ``N < F`` makes ``s_c > n_c``
+- union the slices, sort ascending, gather rows, zero-pad or truncate to
+  exactly ``F`` (``:296-306``).
+
+The reference runs this on the host with two ``.item()`` device syncs per
+cluster per bag. Here it is fully vectorized: window arithmetic on the
+``(K,)`` vectors, membership test on a ``(K, Cmax)`` position grid, a
+scatter-max into an ``(Nmax,)`` flag array, and a stable argsort whose
+first ``F`` entries are exactly the ascending sorted union — all inside
+``jit``/``vmap``, no host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _python_slice_bounds(l, r, n):
+    """Effective [start, end) of python list slicing ``lst[l:r]`` for length n."""
+    start = jnp.where(l < 0, jnp.maximum(n + l, 0), jnp.minimum(l, n))
+    end = jnp.where(r < 0, jnp.maximum(n + r, 0), jnp.minimum(r, n))
+    return start, end
+
+
+def _select_one(
+    num_patches,        # ()   int32 — actual N of this bag
+    cluster_table,      # (K, Cmax) int32 — local patch indices, padded
+    cluster_sizes,      # (K,) int32
+    action,             # (K,) float32 in [0, 1]
+    feat_size: int,
+    max_patches: int,
+):
+    """Selection indices for one bag: ``(feat_size,)`` local indices + valid mask."""
+    n_c = cluster_sizes.astype(jnp.float32)
+    ratio = feat_size / num_patches.astype(jnp.float32)
+    s_c = jnp.round(n_c * ratio).astype(jnp.int32)
+    l_c = jnp.floor(action * (n_c - s_c.astype(jnp.float32))).astype(jnp.int32)
+    r_c = l_c + s_c
+
+    start, end = _python_slice_bounds(l_c, r_c, cluster_sizes)
+
+    k, c_max = cluster_table.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (k, c_max), 1)
+    picked = (pos >= start[:, None]) & (pos < end[:, None]) & (pos < cluster_sizes[:, None])
+
+    # Scatter the picked cluster entries into a per-patch flag. Padded table
+    # entries carry picked=False, so max-scatter leaves their target untouched.
+    flag = jnp.zeros((max_patches,), dtype=jnp.bool_)
+    flag = flag.at[cluster_table.reshape(-1)].max(picked.reshape(-1))
+
+    # Stable sort: selected patches first, each group in ascending index
+    # order — the first feat_size entries are the reference's
+    # sorted-union-then-truncate, and short unions read padding (valid=False).
+    order = jnp.argsort(jnp.logical_not(flag), stable=True)
+    idx = jax.lax.dynamic_slice_in_dim(order, 0, feat_size).astype(jnp.int32)
+    valid = flag[idx]
+    return idx, valid
+
+
+@partial(jax.jit, static_argnames=("feat_size", "max_patches"))
+def select_indices(
+    slide_ids,          # (B,) int32 — rows into the bank metadata
+    offsets,            # (S,) int32
+    num_patches,        # (S,) int32
+    cluster_tables,     # (S, K, Cmax) int32
+    cluster_sizes,      # (S, K) int32
+    actions,            # (B, K) float32
+    feat_size: int,
+    max_patches: int,
+):
+    """Global bank row indices ``(B, feat_size)`` + valid mask ``(B, feat_size)``."""
+    local_idx, valid = jax.vmap(
+        _select_one, in_axes=(0, 0, 0, 0, None, None)
+    )(
+        num_patches[slide_ids],
+        cluster_tables[slide_ids],
+        cluster_sizes[slide_ids],
+        actions,
+        feat_size,
+        max_patches,
+    )
+    global_idx = offsets[slide_ids][:, None] + local_idx
+    return global_idx, valid
+
+
+@partial(jax.jit, static_argnames=("feat_size", "max_patches"))
+def select_feats(
+    bank_feats,         # (P, D)
+    slide_ids,
+    offsets,
+    num_patches,
+    cluster_tables,
+    cluster_sizes,
+    actions,
+    feat_size: int,
+    max_patches: int,
+):
+    """The full ``get_feats`` equivalent: ``(B, feat_size, D)`` sub-bags.
+
+    Rows past the union length are exact zeros (reference zero-padding,
+    ``utils/datasets.py:299-303``).
+    """
+    idx, valid = select_indices(
+        slide_ids, offsets, num_patches, cluster_tables, cluster_sizes,
+        actions, feat_size, max_patches,
+    )
+    # Padding rows can index past this slide's patches (or past the bank for
+    # the last slide, where jnp.take's fill mode would yield NaN) — point them
+    # at row 0; the valid mask zeroes them below.
+    idx = jnp.where(valid, idx, 0)
+    feats = jnp.take(bank_feats, idx.reshape(-1), axis=0)
+    feats = feats.reshape(idx.shape[0], feat_size, -1)
+    return feats * valid[:, :, None].astype(feats.dtype)
+
+
+def select_feats_oracle(
+    feat_list: List[np.ndarray],
+    clusters_list: List[List[List[int]]],
+    action_sequence: np.ndarray,
+    feat_size: int = 1024,
+) -> np.ndarray:
+    """Numpy transcription of the reference ``get_feats`` semantics.
+
+    Used as the golden model in property tests; mirrors
+    ``utils/datasets.py:274-308`` including python-slice edge cases,
+    round-half-to-even, and zero padding/truncation.
+    """
+    batch = []
+    for i, feat in enumerate(feat_list):
+        num_patch = feat.shape[0]
+        ratio = feat_size / num_patch
+        n = np.array([len(c) for c in clusters_list[i]], dtype=np.float32)
+        s = np.round(n * ratio).astype(np.int64)  # numpy round == banker's
+        l = np.floor(action_sequence[i] * (n - s)).astype(np.int64)
+        r = l + s
+        indices: List[int] = []
+        for j, c in enumerate(clusters_list[i]):
+            indices.extend(c[int(l[j]) : int(r[j])])
+        indices = sorted(indices)
+        per = feat[indices]
+        if per.shape[0] < feat_size:
+            pad = np.zeros((feat_size - per.shape[0], feat.shape[1]), dtype=per.dtype)
+            per = np.concatenate([per, pad], axis=0)
+        else:
+            per = per[:feat_size]
+        batch.append(per)
+    return np.stack(batch, axis=0)
