@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Benchmark: MuRCL pretrain steps/sec at the canonical workload shape.
+
+Workload (reference ``runs/pretrain.sh`` + CLI defaults): CLAM_SB aggregator,
+bag = feat_size 1024 patches x 512 dims, batch 128, T = 6 rollout steps,
+K = 10 clusters, stage-1 contrastive training (NT-Xent, Adam). One training
+step = 12 aggregator forwards (2 views x 6 steps) + backward through all of
+them + 12 on-device sub-bag selections.
+
+Prints ONE json line: ``{"metric", "value", "unit", "vs_baseline"}``.
+``vs_baseline`` compares against the reference implementation's measured
+steps/sec on this host (torch CPU; the repo publishes no GPU numbers —
+SURVEY §6). The baseline is measured once and cached in
+``BASELINE_MEASURED.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+BATCH, FEAT_SIZE, DIM, K, T = 128, 1024, 512, 10, 6
+NUM_SLIDES, PATCHES_PER_SLIDE = 64, 2048
+BASELINE_FILE = REPO / "BASELINE_MEASURED.json"
+
+
+def _synthetic_bank():
+    from murcl_tpu.data.bank import bank_from_arrays
+
+    rng = np.random.default_rng(0)
+    feats, clusters, labels = [], [], []
+    for i in range(NUM_SLIDES):
+        n = PATCHES_PER_SLIDE
+        f = rng.normal(size=(n, DIM)).astype(np.float32)
+        a = rng.integers(0, K, size=n)
+        clusters.append([[int(j) for j in np.where(a == c)[0]] for c in range(K)])
+        feats.append(f)
+        labels.append(i % 2)
+    return bank_from_arrays(feats, clusters, labels)
+
+
+def measure_ours(steps: int = 10, warmup: int = 2) -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from murcl_tpu.engine import BankArrays, ContrastiveEngine, PretrainConfig
+    from murcl_tpu.models import FullLayer, build_aggregator
+
+    bank = _synthetic_bank().device()
+    model, feature_num = build_aggregator(
+        "CLAM_SB", dim_in=DIM, num_classes=128,
+        arch_setting={"gate": True, "dropout": 0.25, "k_sample": 8, "subtyping": True},
+    )
+    fc = FullLayer(feature_num=feature_num, hidden_state_dim=1024, class_num=128)
+    cfg = PretrainConfig(arch="CLAM_SB", T=T, feat_size=FEAT_SIZE, num_clusters=K,
+                         max_patches=bank.max_patches, train_stage=1,
+                         temperature=0.5, alpha=0.9, batch_size=BATCH)
+    engine = ContrastiveEngine(cfg, model, fc, tx=optax.adam(1e-4))
+
+    rng = jax.random.PRNGKey(0)
+    params = engine.init_params(rng, jnp.zeros((BATCH, FEAT_SIZE, DIM), jnp.float32))
+    agg = engine.init_state(params)
+    bank_arrays = BankArrays.from_bank(bank)
+    rng_np = np.random.default_rng(1)
+
+    def one_step(agg, seed):
+        ids = jnp.asarray(rng_np.integers(0, NUM_SLIDES, size=BATCH), jnp.int32)
+        agg, _, stats = engine.train_step(agg, None, bank_arrays, ids, jax.random.PRNGKey(seed))
+        return agg, stats
+
+    for i in range(warmup):
+        agg, stats = one_step(agg, i)
+    jax.block_until_ready(agg.params)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        agg, stats = one_step(agg, 100 + i)
+    jax.block_until_ready(agg.params)
+    dt = time.perf_counter() - t0
+    return steps / dt
+
+
+def measure_reference_baseline(steps: int = 1) -> float:
+    """Reference implementation (torch, CPU) at the same workload shape.
+
+    Imports the mounted reference read-only and times its actual train-step
+    body: get_feats + mixup + CL(CLAM_SB) forward x2 views x T steps +
+    NT-Xent backward. Cached in BASELINE_MEASURED.json after first run.
+    """
+    sys.path.insert(0, "/root/reference")
+    try:
+        import torch
+
+        torch.set_num_threads(max(1, (torch.get_num_threads() or 4)))
+        from models import clam, cl, rlmil
+        from utils.datasets import get_feats, mixup
+        from utils.losses import NT_Xent
+
+        rng = np.random.default_rng(0)
+        feat_list, cluster_list = [], []
+        for _ in range(BATCH):
+            n = PATCHES_PER_SLIDE
+            f = torch.from_numpy(rng.normal(size=(1, n, DIM)).astype(np.float32))
+            a = rng.integers(0, K, size=n)
+            cluster_list.append([[int(j) for j in np.where(a == c)[0]] for c in range(K)])
+            feat_list.append(f)
+
+        encoder = clam.CLAM_SB(gate=True, size_arg="small", dropout=True,
+                               k_sample=8, n_classes=128, subtyping=True, in_dim=DIM)
+        model = cl.CL(encoder, projection_dim=128, n_features=512)
+        fc = rlmil.Full_layer(512, 1024, True, 128)
+        criterion = NT_Xent(BATCH, 0.5)
+        opt = torch.optim.Adam(list(model.parameters()) + list(fc.parameters()), lr=1e-4)
+
+        def step():
+            loss_list = []
+            actions = [torch.rand(BATCH, K) for _ in range(2)]
+            x_views = [get_feats(feat_list, cluster_list, a, FEAT_SIZE) for a in actions]
+            x_views = [mixup(x, 0.9)[0] for x in x_views]
+            outputs, _ = model(x_views)
+            outputs = [fc(o, restart=True) for o in outputs]
+            loss_list.append(criterion(outputs[0], outputs[1]))
+            for _ in range(1, T):
+                actions = [torch.rand(BATCH, K) for _ in range(2)]
+                x_views = [get_feats(feat_list, cluster_list, a, FEAT_SIZE) for a in actions]
+                x_views = [mixup(x, 0.9)[0] for x in x_views]
+                outputs, _ = model(x_views)
+                outputs = [fc(o, restart=False) for o in outputs]
+                loss_list.append(criterion(outputs[0], outputs[1]))
+            loss = sum(loss_list) / T
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+
+        step()  # warmup / allocation
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            step()
+        dt = time.perf_counter() - t0
+        return steps / dt
+    finally:
+        sys.path.remove("/root/reference")
+
+
+def main():
+    ours = measure_ours()
+
+    if BASELINE_FILE.exists():
+        baseline = json.loads(BASELINE_FILE.read_text())["reference_steps_per_sec"]
+    else:
+        try:
+            baseline = measure_reference_baseline()
+            BASELINE_FILE.write_text(json.dumps({
+                "reference_steps_per_sec": baseline,
+                "workload": f"CLAM_SB pretrain, batch={BATCH}, bag={FEAT_SIZE}, dim={DIM}, T={T}, K={K}",
+                "hardware": "reference torch implementation on this host's CPU",
+            }, indent=2))
+        except Exception as e:  # reference not mounted / torch issue
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
+            baseline = None
+
+    result = {
+        "metric": "murcl_pretrain_steps_per_sec",
+        "value": round(ours, 4),
+        "unit": "steps/sec (batch=128, bag=1024, dim=512, T=6, CLAM_SB)",
+        "vs_baseline": round(ours / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -217,3 +217,22 @@ def bank_from_arrays(
         num_clusters=num_clusters,
         max_patches=n_max,
     )
+
+
+def harmonize_banks(banks: dict) -> dict:
+    """Re-pad a dict of banks to shared static shapes.
+
+    All splits then share one ``(K, Cmax)`` cluster-table width and one
+    ``max_patches``, so every jitted program that takes bank arrays compiles
+    once per batch shape instead of once per split.
+    """
+    n_max = max(b.max_patches for b in banks.values())
+    c_max = max(b.cluster_tables.shape[-1] for b in banks.values())
+    out = {}
+    for name, b in banks.items():
+        tables = b.cluster_tables
+        if tables.shape[-1] < c_max:
+            pad = np.zeros(tables.shape[:-1] + (c_max - tables.shape[-1],), dtype=tables.dtype)
+            tables = np.concatenate([tables, pad], axis=-1)
+        out[name] = replace(b, cluster_tables=tables, max_patches=n_max)
+    return out

@@ -1,0 +1,41 @@
+"""Static configuration for the jitted training programs.
+
+Everything here is a trace-time constant: changing a field recompiles,
+which is exactly the XLA contract. Field names track the reference CLI
+flags (``train_RLMIL.py:1060-1153``, ``train_MuRCL.py:386-475``) so the
+drivers translate 1:1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class RolloutConfig:
+    """Shape + schedule of the T-step cluster-window rollout."""
+
+    arch: str  # ABMIL | CLAM_SB | DSMIL
+    T: int = 6
+    feat_size: int = 1024
+    num_clusters: int = 10
+    max_patches: int = 0  # static Nmax of the feature bank
+    train_stage: int = 1  # 1 | 2 | 3
+    num_classes: int = 2
+
+    # arch-specific loss knobs
+    bag_weight: float = 0.7  # CLAM (train_RLMIL.py:1134)
+    train_model_prime: bool = True  # ABMIL t=0 gradient gate (:719-725)
+
+    @property
+    def uses_policy(self) -> bool:
+        return self.train_stage != 1
+
+
+@dataclass(frozen=True)
+class PretrainConfig(RolloutConfig):
+    """MuRCL contrastive pretraining extras (``train_MuRCL.py``)."""
+
+    alpha: float = 0.9  # mixup lower bound (:415)
+    temperature: float = 0.5  # NT-Xent tau (:414)
+    batch_size: int = 128

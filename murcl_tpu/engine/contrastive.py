@@ -1,0 +1,210 @@
+"""MuRCL contrastive pretraining engine: dual-view rollout as one program.
+
+Reference semantics (``train_MuRCL.py:189-343``): per full batch, two
+random action vectors select two sub-bag views, each mixup-augmented, both
+encoded by the shared aggregator (``CL`` wrapper) and projected by the
+shared GRU head; ``loss_t = NT_Xent(out_v0, out_v1)``; from t=1 actions
+come per view from ``policy_old`` with separate memories
+(``train_MuRCL.py:204,262-265``); ``reward_t = cos_sim_{t-1} - cos_sim_t``
+(*decreasing* similarity is rewarded, ``:286``); stage 2 freezes the
+aggregator and runs one PPO update per view, stages 1/3 backprop the mean
+of the T NT-Xent losses.
+
+**Faithfully reproduced quirk** — the reference's ``Full_layer`` keeps its
+GRU hidden as module state and the two views call it alternately
+(``:243,276``), so the hidden state *interleaves across views*: after t=0
+the carry is view-1's (view-0's is overwritten), and at each later step
+view 0 consumes the carry view 1 wrote. The scan below threads one shared
+``fc_carry`` through ``view0 -> view1`` per step to match exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from murcl_tpu.engine.config import PretrainConfig
+from murcl_tpu.engine.losses import cosine_similarity
+from murcl_tpu.engine.supervised import AggTrainState, BankArrays
+from murcl_tpu.models.rlmil import PPO, PPOTrainState, PolicyStep, Rollout, act
+from murcl_tpu.ops.mixup import mixup
+from murcl_tpu.ops.ntxent import nt_xent
+from murcl_tpu.ops.select import select_feats
+
+
+class PretrainStats(NamedTuple):
+    loss: jnp.ndarray  # scalar: mean of the T NT-Xent losses
+    step_losses: jnp.ndarray  # (T,)
+    rewards: jnp.ndarray  # (T-1,) batch-mean reward per step
+
+
+class ContrastiveEngine:
+    """Jitted MuRCL pretraining step for one (stage, arch) config."""
+
+    def __init__(
+        self,
+        cfg: PretrainConfig,
+        model,  # the CL-wrapped aggregator is implicit: we apply the encoder per view
+        fc,
+        ppo: Optional[PPO] = None,
+        tx: Optional[optax.GradientTransformation] = None,
+    ):
+        if cfg.uses_policy and ppo is None:
+            raise ValueError(f"stage {cfg.train_stage} requires a PPO policy")
+        if cfg.train_stage != 2 and tx is None:
+            raise ValueError("stages 1/3 require an optimizer")
+        self.cfg = cfg
+        self.model = model
+        self.fc = fc
+        self.ppo = ppo
+        self.tx = tx
+        self._train = jax.jit(self._train_impl)
+
+    # ------------------------------------------------------------- setup --
+    def init_params(self, rng, example_feats):
+        r_model, r_fc = jax.random.split(rng)
+        model_params = self.model.init(r_model, example_feats)
+        out = self.model.apply(model_params, example_feats)
+        fc_in = out[0] if isinstance(out, tuple) else out
+        fc_params = self.fc.init(r_fc, fc_in, None)
+        return {"model": model_params, "fc": fc_params}
+
+    def init_state(self, params) -> AggTrainState:
+        opt_state = self.tx.init(params) if self.tx is not None else None
+        return AggTrainState(params=params, opt_state=opt_state)
+
+    # ----------------------------------------------------------- rollout --
+    def _encode(self, model_params, feats, train, rng):
+        """Aggregator forward -> (projection input (B, F), rl state (B, S))."""
+        rngs = {"dropout": rng} if train else None
+        out = self.model.apply(model_params, feats, train=train, rngs=rngs)
+        emb = out[0] if isinstance(out, tuple) else out
+        return emb, jax.lax.stop_gradient(emb)
+
+    def _rollout(self, params, ppo_old_params, bank: BankArrays, slide_ids,
+                 rng, train: bool):
+        cfg = self.cfg
+        b = slide_ids.shape[0]
+        mp, fcp = params["model"], params["fc"]
+
+        def select(actions):
+            return select_feats(
+                bank.feats, slide_ids, bank.offsets, bank.num_patches,
+                bank.cluster_tables, bank.cluster_sizes, actions,
+                feat_size=cfg.feat_size, max_patches=cfg.max_patches,
+            )
+
+        def view_forward(actions, fc_carry, rng_t):
+            """select -> mixup -> encode -> project; returns (proj, state, carry)."""
+            r_mix, r_drop = jax.random.split(rng_t)
+            x = select(actions)
+            x, _, _ = mixup(r_mix, x, cfg.alpha)
+            emb, state = self._encode(mp, x, train, r_drop)
+            proj, new_carry = self.fc.apply(fcp, emb, fc_carry)
+            return proj, state, new_carry
+
+        # ---- t = 0: two uniform random views, fresh hidden per view -------
+        rng, ra0, ra1, rv0, rv1 = jax.random.split(rng, 5)
+        act0 = jax.random.uniform(ra0, (b, cfg.num_clusters))
+        act1 = jax.random.uniform(ra1, (b, cfg.num_clusters))
+        # reference: fc(o, restart=True) per view — view 0's hidden is
+        # overwritten by view 1's; the surviving carry is view 1's
+        proj0, state0, _carry_v0 = view_forward(act0, None, rv0)
+        proj1, state1, fc_carry = view_forward(act1, None, rv1)
+        loss0 = nt_xent(proj0, proj1, cfg.temperature)
+        sim0 = cosine_similarity(
+            jax.lax.stop_gradient(proj0), jax.lax.stop_gradient(proj1)
+        )
+
+        pol_c0 = self.ppo.zero_carry(b) if cfg.uses_policy else jnp.zeros((b, 1))
+
+        # ---- t = 1 .. T-1 --------------------------------------------------
+        def scan_step(carry, rng_t):
+            fc_c, pol_a, pol_b, st_a, st_b, sim_last = carry
+            r_aa, r_ab, r_va, r_vb = jax.random.split(rng_t, 4)
+            if cfg.uses_policy:
+                action_a, pol_a, pstep_a = act(
+                    self.ppo.model, ppo_old_params, st_a, pol_a, r_aa
+                )
+                action_b, pol_b, pstep_b = act(
+                    self.ppo.model, ppo_old_params, st_b, pol_b, r_ab
+                )
+            else:
+                action_a = jax.random.uniform(r_aa, (b, cfg.num_clusters))
+                action_b = jax.random.uniform(r_ab, (b, cfg.num_clusters))
+                zero_lp = jnp.zeros((b,))
+                pstep_a = PolicyStep(state=st_a, action=action_a, logprob=zero_lp)
+                pstep_b = PolicyStep(state=st_b, action=action_b, logprob=zero_lp)
+
+            # shared fc carry threads view0 -> view1 (reference quirk)
+            proj_a, st_a, fc_c = view_forward(action_a, fc_c, r_va)
+            proj_b, st_b, fc_c = view_forward(action_b, fc_c, r_vb)
+
+            loss_t = nt_xent(proj_a, proj_b, cfg.temperature)
+            sim = cosine_similarity(
+                jax.lax.stop_gradient(proj_a), jax.lax.stop_gradient(proj_b)
+            )
+            reward = sim_last - sim  # decreasing similarity is rewarded
+            out = (loss_t, pstep_a, pstep_b, reward)
+            return (fc_c, pol_a, pol_b, st_a, st_b, sim), out
+
+        rngs_t = jax.random.split(rng, cfg.T - 1)
+        carry0 = (fc_carry, pol_c0, pol_c0, state0, state1, sim0)
+        _, (losses_t, psteps_a, psteps_b, rewards) = jax.lax.scan(
+            scan_step, carry0, rngs_t
+        )
+
+        step_losses = jnp.concatenate([loss0[None], losses_t])
+        total = jnp.sum(step_losses) / cfg.T
+        rollouts = tuple(
+            Rollout(states=p.state, actions=p.action, logprobs=p.logprob,
+                    rewards=rewards)
+            for p in (psteps_a, psteps_b)
+        )
+        stats = PretrainStats(
+            loss=total, step_losses=step_losses, rewards=jnp.mean(rewards, axis=1)
+        )
+        return total, (stats, rollouts)
+
+    # ------------------------------------------------------------- steps --
+    def _train_impl(self, agg_state: AggTrainState, ppo_params,
+                    bank: BankArrays, slide_ids, rng):
+        cfg = self.cfg
+        if cfg.train_stage == 2:
+            _, (stats, rollouts) = self._rollout(
+                jax.lax.stop_gradient(agg_state.params), ppo_params, bank,
+                slide_ids, rng, train=False,
+            )
+            return agg_state, stats, rollouts
+
+        def loss_fn(params):
+            return self._rollout(params, ppo_params, bank, slide_ids, rng, train=True)
+
+        (_, (stats, rollouts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            agg_state.params
+        )
+        updates, opt_state = self.tx.update(grads, agg_state.opt_state, agg_state.params)
+        params = optax.apply_updates(agg_state.params, updates)
+        return AggTrainState(params=params, opt_state=opt_state), stats, rollouts
+
+    # -------------------------------------------------------------- API ---
+    def train_step(
+        self,
+        agg_state: AggTrainState,
+        ppo_state: Optional[PPOTrainState],
+        bank: BankArrays,
+        slide_ids,
+        rng,
+    ) -> Tuple[AggTrainState, Optional[PPOTrainState], PretrainStats]:
+        ppo_params = ppo_state.old_params if self.cfg.uses_policy else None
+        agg_state, stats, rollouts = self._train(
+            agg_state, ppo_params, bank, slide_ids, rng
+        )
+        if self.cfg.train_stage == 2:
+            # one PPO update per view, sequentially (train_MuRCL.py:296-298)
+            for rollout in rollouts:
+                ppo_state, _ = self.ppo.update(ppo_state, rollout)
+        return agg_state, ppo_state, stats

@@ -1,0 +1,285 @@
+"""Supervised RLMIL engine: the whole T-step rollout is ONE jitted program.
+
+Reference semantics (``train_RLMIL.py:290-854``, per-arch ``train_*`` /
+``test_*``): per batch, T forwards over PPO/random-selected sub-bags with a
+GRU head accumulating across steps; per-arch step losses
+
+- ABMIL:   ``CE(fc_out)``; the t=0 forward only trains when
+  ``--train_model_prime`` (``:719-725``)
+- CLAM_SB: ``bag_weight*CE + (1-bag_weight)*instance_loss`` (``:336``)
+- DSMIL:   ``0.5*CE(fc_out) + 0.5*CE(max-pooled instance logits)``
+  (``:527-529``), with ``fc`` input / RL state = mean over the class axis
+  of the bag tensor (``:514-517``)
+
+reward ``confidence_t - confidence_{t-1}`` of the true class; stage 1 uses
+random actions, stages 2/3 sample from ``policy_old`` (restarted at t=1);
+stage 2 freezes the aggregator and updates PPO, stages 1/3 backprop the
+mean of the T step losses. Eval runs the same rollout with *sampled*
+actions (the reference never passes ``training=False``,
+``rlmil.py:149``).
+
+The reference executes this as ~T*B Python-level forwards with a host
+round-trip per cluster per bag. Here: t=0 outside, t=1..T-1 as a
+``lax.scan`` whose carry is ``(fc_hidden, policy_hidden, prev_state,
+prev_confidence, rng)``; sub-bag selection is the on-device gather of
+:mod:`murcl_tpu.ops.select`; the rollout buffer is the scan's stacked
+output. One compile per (arch, stage); everything else is data.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from murcl_tpu.engine.config import RolloutConfig
+from murcl_tpu.engine.losses import cross_entropy, label_confidence, masked_mean
+from murcl_tpu.models.rlmil import PPO, PPOTrainState, PolicyStep, Rollout, act
+from murcl_tpu.ops.select import select_feats
+
+
+class BankArrays(NamedTuple):
+    """The device-resident split: passed whole into the jitted step."""
+
+    feats: jnp.ndarray  # (P, D)
+    offsets: jnp.ndarray  # (S,)
+    num_patches: jnp.ndarray  # (S,)
+    cluster_tables: jnp.ndarray  # (S, K, Cmax)
+    cluster_sizes: jnp.ndarray  # (S, K)
+
+    @classmethod
+    def from_bank(cls, bank) -> "BankArrays":
+        return cls(
+            feats=bank.feats,
+            offsets=bank.offsets,
+            num_patches=bank.num_patches,
+            cluster_tables=bank.cluster_tables,
+            cluster_sizes=bank.cluster_sizes,
+        )
+
+
+class AggTrainState(NamedTuple):
+    params: Any  # {'model': ..., 'fc': ...}
+    opt_state: Any
+
+
+class StepStats(NamedTuple):
+    loss: jnp.ndarray  # scalar: mean of the T step losses
+    step_losses: jnp.ndarray  # (T,)
+    rewards: jnp.ndarray  # (T-1,) batch-mean reward per step
+    logits: jnp.ndarray  # (B, C) final-step outputs (metrics source)
+
+
+class SupervisedEngine:
+    """Builds and caches the jitted train/eval programs for one config."""
+
+    def __init__(
+        self,
+        cfg: RolloutConfig,
+        model,
+        fc,
+        ppo: Optional[PPO] = None,
+        tx: Optional[optax.GradientTransformation] = None,
+    ):
+        if cfg.uses_policy and ppo is None:
+            raise ValueError(f"stage {cfg.train_stage} requires a PPO policy")
+        if cfg.train_stage != 2 and tx is None:
+            raise ValueError("stages 1/3 require an optimizer")
+        self.cfg = cfg
+        self.model = model
+        self.fc = fc
+        self.ppo = ppo
+        self.tx = tx
+        self._train = jax.jit(self._train_impl)
+        self._eval = jax.jit(self._eval_impl)
+
+    # ------------------------------------------------------------- setup --
+    def init_params(self, rng, example_feats, example_labels):
+        """Init {'model','fc'} params from one example sub-bag batch."""
+        r_model, r_fc = jax.random.split(rng)
+        kwargs = {}
+        if self.cfg.arch == "CLAM_SB":
+            model_params = self.model.init(
+                r_model, example_feats, example_labels, True
+            )
+        else:
+            model_params = self.model.init(r_model, example_feats, **kwargs)
+        fc_in, _ = self._arch_forward(
+            model_params, example_feats, example_labels, None, False, rng
+        )
+        fc_params = self.fc.init(r_fc, fc_in, None)
+        return {"model": model_params, "fc": fc_params}
+
+    def init_state(self, params) -> AggTrainState:
+        opt_state = self.tx.init(params) if self.tx is not None else None
+        return AggTrainState(params=params, opt_state=opt_state)
+
+    # ------------------------------------------------------- arch adapter --
+    def _arch_forward(self, model_params, feats, labels, valid, train, rng):
+        """Returns ``(fc_in (B, F), extra_step_loss scalar)`` per arch."""
+        cfg = self.cfg
+        rngs = {"dropout": rng} if train else None
+        if cfg.arch == "ABMIL":
+            out, _aux = self.model.apply(model_params, feats, train=train, rngs=rngs)
+            return out, jnp.float32(0.0)
+        if cfg.arch == "CLAM_SB":
+            m, aux = self.model.apply(
+                model_params, feats, labels, True, train=train, rngs=rngs
+            )
+            extra = (1.0 - cfg.bag_weight) * masked_mean(aux["instance_loss"], valid)
+            return m, extra
+        if cfg.arch == "DSMIL":
+            inst, bag, _aux = self.model.apply(model_params, feats, train=train, rngs=rngs)
+            fc_in = jnp.mean(bag, axis=1)
+            inst_max = jnp.max(inst, axis=1)  # (B, C) max-pooled instance logits
+            extra = 0.5 * cross_entropy(inst_max, labels, valid)
+            return fc_in, extra
+        raise ValueError(f"unknown arch {self.cfg.arch!r}")
+
+    @property
+    def _ce_weight(self) -> float:
+        return {"ABMIL": 1.0, "CLAM_SB": self.cfg.bag_weight, "DSMIL": 0.5}[self.cfg.arch]
+
+    # ----------------------------------------------------------- rollout --
+    def _rollout(self, params, ppo_old_params, bank: BankArrays, slide_ids,
+                 labels, valid, rng, train: bool):
+        """The full T-step program. Returns ``(loss, (stats, rollout))``."""
+        cfg = self.cfg
+        b = slide_ids.shape[0]
+        mp, fcp = params["model"], params["fc"]
+
+        def select(actions):
+            return select_feats(
+                bank.feats, slide_ids, bank.offsets, bank.num_patches,
+                bank.cluster_tables, bank.cluster_sizes, actions,
+                feat_size=cfg.feat_size, max_patches=cfg.max_patches,
+            )
+
+        def forward(feats, fc_carry, rngd):
+            fc_in, extra = self._arch_forward(mp, feats, labels, valid, train, rngd)
+            logits, new_carry = self.fc.apply(fcp, fc_in, fc_carry)
+            loss = self._ce_weight * cross_entropy(logits, labels, valid) + extra
+            return logits, new_carry, jax.lax.stop_gradient(fc_in), loss
+
+        # ---- t = 0: uniform random actions, fresh GRU hidden -------------
+        rng, r_act0, r_drop0 = jax.random.split(rng, 3)
+        actions0 = jax.random.uniform(r_act0, (b, cfg.num_clusters))
+        logits0, fc_carry, states0, loss0 = forward(select(actions0), None, r_drop0)
+        if cfg.arch == "ABMIL" and not cfg.train_model_prime:
+            # reference runs the prime forward under no_grad (:719-725); the
+            # loss still counts toward the T-step average as a constant
+            logits0 = jax.lax.stop_gradient(logits0)
+            fc_carry = jax.lax.stop_gradient(fc_carry)
+            loss0 = jax.lax.stop_gradient(loss0)
+        conf0 = label_confidence(jax.lax.stop_gradient(logits0), labels)
+
+        policy_carry0 = (
+            self.ppo.zero_carry(b) if cfg.uses_policy else jnp.zeros((b, 1))
+        )
+
+        # ---- t = 1 .. T-1: one scan ---------------------------------------
+        def scan_step(carry, rng_t):
+            fc_c, pol_c, prev_state, conf_last = carry
+            r_act, r_drop = jax.random.split(rng_t)
+            if cfg.uses_policy:
+                action, pol_c, pstep = act(
+                    self.ppo.model, ppo_old_params, prev_state, pol_c, r_act
+                )
+            else:
+                action = jax.random.uniform(r_act, (b, cfg.num_clusters))
+                pstep = PolicyStep(
+                    state=prev_state, action=action, logprob=jnp.zeros((b,))
+                )
+
+            logits, fc_c, states, loss = forward(select(action), fc_c, r_drop)
+            conf = label_confidence(jax.lax.stop_gradient(logits), labels)
+            reward = conf - conf_last
+            out = (loss, pstep, reward, logits)
+            return (fc_c, pol_c, states, conf), out
+
+        rngs_t = jax.random.split(rng, cfg.T - 1)
+        carry0 = (fc_carry, policy_carry0, states0, conf0)
+        (_, _, _, _), (losses_t, psteps, rewards, logits_t) = jax.lax.scan(
+            scan_step, carry0, rngs_t
+        )
+
+        step_losses = jnp.concatenate([loss0[None], losses_t])
+        total = jnp.sum(step_losses) / cfg.T
+        last_logits = logits_t[-1]
+
+        rollout = Rollout(
+            states=psteps.state, actions=psteps.action,
+            logprobs=psteps.logprob, rewards=rewards,
+        )
+        stats = StepStats(
+            loss=total,
+            step_losses=step_losses,
+            rewards=jnp.mean(rewards, axis=1),
+            logits=last_logits,
+        )
+        return total, (stats, rollout)
+
+    # ------------------------------------------------------------- steps --
+    def _train_impl(self, agg_state: AggTrainState, ppo_params, bank: BankArrays,
+                    slide_ids, labels, valid, rng):
+        cfg = self.cfg
+        if cfg.train_stage == 2:
+            # frozen aggregator (eval mode), collect the rollout for PPO
+            _, (stats, rollout) = self._rollout(
+                jax.lax.stop_gradient(agg_state.params), ppo_params, bank,
+                slide_ids, labels, valid, rng, train=False,
+            )
+            return agg_state, stats, rollout
+
+        def loss_fn(params):
+            return self._rollout(
+                params, ppo_params, bank, slide_ids, labels, valid, rng, train=True
+            )
+
+        (_, (stats, rollout)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            agg_state.params
+        )
+        updates, opt_state = self.tx.update(grads, agg_state.opt_state, agg_state.params)
+        params = optax.apply_updates(agg_state.params, updates)
+        return AggTrainState(params=params, opt_state=opt_state), stats, rollout
+
+    def _eval_impl(self, params, ppo_params, bank: BankArrays, slide_ids,
+                   labels, valid, rng):
+        _, (stats, _) = self._rollout(
+            params, ppo_params, bank, slide_ids, labels, valid, rng, train=False
+        )
+        return stats
+
+    # -------------------------------------------------------------- API ---
+    def train_step(
+        self,
+        agg_state: AggTrainState,
+        ppo_state: Optional[PPOTrainState],
+        bank: BankArrays,
+        slide_ids,
+        labels,
+        rng,
+        valid=None,
+    ) -> Tuple[AggTrainState, Optional[PPOTrainState], StepStats]:
+        """One optimizer step (stages 1/3) or one PPO update (stage 2)."""
+        if valid is None:
+            valid = jnp.ones(slide_ids.shape, dtype=bool)
+        ppo_params = ppo_state.old_params if self.cfg.uses_policy else None
+        agg_state, stats, rollout = self._train(
+            agg_state, ppo_params, bank, slide_ids, labels, valid, rng
+        )
+        if self.cfg.train_stage == 2:
+            ppo_state, _ = self.ppo.update(ppo_state, rollout)
+        return agg_state, ppo_state, stats
+
+    def eval_step(self, agg_state: AggTrainState, ppo_state, bank: BankArrays,
+                  slide_ids, labels, rng, valid=None) -> StepStats:
+        """T-step rollout in eval mode (sampled actions, reference quirk)."""
+        if valid is None:
+            valid = jnp.ones(slide_ids.shape, dtype=bool)
+        ppo_params = ppo_state.old_params if self.cfg.uses_policy else None
+        return self._eval(
+            agg_state.params, ppo_params, bank, slide_ids, labels, valid, rng
+        )

@@ -7,10 +7,19 @@ is imported anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force, don't setdefault: the shell env presets JAX_PLATFORMS=axon (the
+# real-TPU tunnel), which would silently run the suite on TPU with bf16
+# matmul precision and 20-40s compiles per test
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# the axon sitecustomize registers the TPU backend at interpreter start and
+# sets jax config programmatically, which beats the env var — override back
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
