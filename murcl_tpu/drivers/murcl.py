@@ -129,7 +129,7 @@ def run(args) -> dict:
                 Path(args.save_dir).parent / f"stage_{prev}" / "model_best.pth.tar"
             )
         assert Path(args.checkpoint).exists(), f"{args.checkpoint} does not exist!"
-        ckpt = load_checkpoint(args.checkpoint)
+        ckpt = load_checkpoint(args.checkpoint, arch=args.arch)
         params["model"] = transfer_params(params["model"], ckpt["model_state_dict"])
         params["fc"] = transfer_params(params["fc"], ckpt["fc"])
         if args.train_stage == 3 and ckpt.get("policy") is not None:

@@ -86,7 +86,7 @@ def _load_stage_checkpoint(args, fresh_params, expect: Optional[str] = None):
             Path(args.save_dir).parent / f"stage_{prev}" / "model_best.pth.tar"
         )
     assert Path(args.checkpoint_stage).exists(), f"{args.checkpoint_stage} does not exist!"
-    ckpt = load_checkpoint(args.checkpoint_stage)
+    ckpt = load_checkpoint(args.checkpoint_stage, arch=args.arch)
     params = dict(fresh_params)
     params["model"] = transfer_params(fresh_params["model"], ckpt["model_state_dict"])
     params["fc"] = transfer_params(fresh_params["fc"], ckpt["fc"])
@@ -169,7 +169,7 @@ def run(args) -> dict:
             # heads (train_RLMIL.py:124-135)
             assert args.checkpoint_pretrained and Path(args.checkpoint_pretrained).exists(), \
                 f"{args.checkpoint_pretrained} does not exist!"
-            ckpt = load_checkpoint(args.checkpoint_pretrained)
+            ckpt = load_checkpoint(args.checkpoint_pretrained, arch=args.arch)
             params["model"] = transfer_params(params["model"], ckpt["model_state_dict"])
         else:
             params, _ = _load_stage_checkpoint(args, params)
@@ -178,7 +178,7 @@ def run(args) -> dict:
                 # (train_RLMIL.py:155-166)
                 assert args.checkpoint_pretrained and Path(args.checkpoint_pretrained).exists(), \
                     f"{args.checkpoint_pretrained} does not exist!"
-                pckpt = load_checkpoint(args.checkpoint_pretrained)
+                pckpt = load_checkpoint(args.checkpoint_pretrained, arch=args.arch)
                 if pckpt.get("policy") is not None:
                     pol = transfer_params(ppo_state.params, pckpt["policy"])
                     ppo_state = ppo_state._replace(params=pol, old_params=pol)

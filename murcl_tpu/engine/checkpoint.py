@@ -62,7 +62,20 @@ def save_checkpoint(
     return path
 
 
-def load_checkpoint(path) -> dict:
+def load_checkpoint(path, arch: Optional[str] = None) -> dict:
+    """Load a checkpoint; native pickles and reference torch ``.pth.tar``
+    files are both accepted (torch zip archives start with ``PK``; the
+    import needs ``arch`` to pick the key mapping)."""
+    with open(path, "rb") as fp:
+        magic = fp.read(2)
+    if magic == b"PK":
+        from murcl_tpu.engine.torch_import import import_reference_checkpoint
+
+        if arch is None:
+            raise ValueError(
+                f"{path} is a torch checkpoint; pass arch= to convert it"
+            )
+        return import_reference_checkpoint(path, arch)
     with open(path, "rb") as fp:
         return pickle.load(fp)
 
