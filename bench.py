@@ -76,13 +76,18 @@ def measure_ours(steps: int = 10, warmup: int = 2) -> float:
 
     for i in range(warmup):
         agg, stats = one_step(agg, i)
-    jax.block_until_ready(agg.params)
+    # force a device->host scalar read: the only sync the async tunnel
+    # runtime cannot satisfy early (block_until_ready alone returned before
+    # execution completed there)
+    print(f"warmup loss: {float(stats.loss):.4f}", file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(steps):
         agg, stats = one_step(agg, 100 + i)
+    final_loss = float(stats.loss)
     jax.block_until_ready(agg.params)
     dt = time.perf_counter() - t0
+    print(f"final loss after {steps} timed steps: {final_loss:.4f}", file=sys.stderr)
     return steps / dt
 
 
@@ -97,6 +102,9 @@ def measure_reference_baseline(steps: int = 1) -> float:
     try:
         import torch
 
+        # the reference hardcodes .cuda() (Full_layer restart hidden,
+        # rlmil.py:214); neutralize on this CPU-only torch build
+        torch.Tensor.cuda = lambda self, *a, **k: self
         torch.set_num_threads(max(1, (torch.get_num_threads() or 4)))
         from models import clam, cl, rlmil
         from utils.datasets import get_feats, mixup

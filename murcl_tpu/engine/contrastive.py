@@ -97,6 +97,12 @@ class ContrastiveEngine:
                 feat_size=cfg.feat_size, max_patches=cfg.max_patches,
             )
 
+        # remat: one rollout step's activations (the (B, feat_size, D)
+        # sub-bag and the aggregator's gate tensors) are ~0.5 GB at the
+        # canonical shape; storing them for all T steps x 2 views OOMs a
+        # 16 GB chip. Recomputing the step in the backward pass trades one
+        # extra fused forward for ~12x less live memory.
+        @jax.checkpoint
         def view_forward(actions, fc_carry, rng_t):
             """select -> mixup -> encode -> project; returns (proj, state, carry)."""
             r_mix, r_drop = jax.random.split(rng_t)

@@ -157,7 +157,12 @@ class SupervisedEngine:
                 feat_size=cfg.feat_size, max_patches=cfg.max_patches,
             )
 
-        def forward(feats, fc_carry, rngd):
+        # remat: recompute each rollout step's sub-bag selection + aggregator
+        # activations in the backward pass instead of keeping T steps of
+        # (B, feat_size, D) tensors live (OOMs 16 GB HBM at batch 128)
+        @jax.checkpoint
+        def forward(actions, fc_carry, rngd):
+            feats = select(actions)
             fc_in, extra = self._arch_forward(mp, feats, labels, valid, train, rngd)
             logits, new_carry = self.fc.apply(fcp, fc_in, fc_carry)
             loss = self._ce_weight * cross_entropy(logits, labels, valid) + extra
@@ -166,7 +171,7 @@ class SupervisedEngine:
         # ---- t = 0: uniform random actions, fresh GRU hidden -------------
         rng, r_act0, r_drop0 = jax.random.split(rng, 3)
         actions0 = jax.random.uniform(r_act0, (b, cfg.num_clusters))
-        logits0, fc_carry, states0, loss0 = forward(select(actions0), None, r_drop0)
+        logits0, fc_carry, states0, loss0 = forward(actions0, None, r_drop0)
         if cfg.arch == "ABMIL" and not cfg.train_model_prime:
             # reference runs the prime forward under no_grad (:719-725); the
             # loss still counts toward the T-step average as a constant
@@ -193,7 +198,7 @@ class SupervisedEngine:
                     state=prev_state, action=action, logprob=jnp.zeros((b,))
                 )
 
-            logits, fc_c, states, loss = forward(select(action), fc_c, r_drop)
+            logits, fc_c, states, loss = forward(action, fc_c, r_drop)
             conf = label_confidence(jax.lax.stop_gradient(logits), labels)
             reward = conf - conf_last
             out = (loss, pstep, reward, logits)

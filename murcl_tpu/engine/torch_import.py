@@ -24,12 +24,14 @@ LINEAR, GRU, RAW = "linear", "gru", "raw"
 # torch Sequential index maps derive from the reference module definitions:
 # ABMIL (models/abmil.py:12-33), CLAM_SB (models/clam.py:37-80),
 # DSMIL (models/dsmil.py:6-62), Full_layer/ActorCritic (models/rlmil.py).
+ATTN = "attn"  # torch Linear -> flat (w.T, b) pair under given leaf names
+
 ABMIL_MAP: List[Tuple[str, Tuple[str, ...], str]] = [
     ("encoder.0", ("encoder", "dense_0"), LINEAR),
     ("encoder.3", ("encoder", "dense_1"), LINEAR),
     ("encoder.6", ("encoder", "dense_2"), LINEAR),
-    ("attention.0", ("attn_dense",), LINEAR),
-    ("attention.2", ("attn_score",), LINEAR),
+    ("attention.0", ("attn", "wa", "ba"), ATTN),
+    ("attention.2", ("attn", "wc", "bc"), ATTN),
     ("decoder.0", ("decoder",), LINEAR),
     ("fc", ("fc",), LINEAR),
 ]
@@ -39,9 +41,9 @@ def clam_map(dropout: bool = True) -> list:
     attn = "attention_net.3" if dropout else "attention_net.2"
     return [
         ("attention_net.0", ("fc",), LINEAR),
-        (f"{attn}.attention_a.0", ("attn", "attention_a"), LINEAR),
-        (f"{attn}.attention_b.0", ("attn", "attention_b"), LINEAR),
-        (f"{attn}.attention_c", ("attn", "attention_c"), LINEAR),
+        (f"{attn}.attention_a.0", ("attn", "wa", "ba"), ATTN),
+        (f"{attn}.attention_b.0", ("attn", "wb", "bb"), ATTN),
+        (f"{attn}.attention_c", ("attn", "wc", "bc"), ATTN),
         ("classifiers", ("classifiers",), LINEAR),
     ]
 
@@ -113,6 +115,15 @@ def torch_to_flax(sd: dict, mapping: list) -> dict:
                           **({"bias": sd[f"{tprefix}.bias"]}
                              if f"{tprefix}.bias" in sd else {}),
                       })
+        elif kind == ATTN:
+            # fpath = (module, weight_leaf, bias_leaf); torch (out,in) -> (in,out)
+            if f"{tprefix}.weight" not in sd:
+                continue
+            module_path, w_name, b_name = fpath[:-2], fpath[-2], fpath[-1]
+            w = sd[f"{tprefix}.weight"].T.copy()
+            _set_path(params, module_path, w_name, w)
+            if f"{tprefix}.bias" in sd:
+                _set_path(params, module_path, b_name, sd[f"{tprefix}.bias"])
         elif kind == GRU:
             if f"{tprefix}.weight_ih_l0" not in sd:
                 continue
@@ -201,13 +212,20 @@ def flax_to_torch(params: dict, mapping: list) -> Dict[str, np.ndarray]:
     tree = params["params"] if "params" in params else params
     for tprefix, fpath, kind in mapping:
         try:
-            node = _get_path(tree, fpath)
+            node = _get_path(tree, fpath[:-2] if kind == ATTN else fpath)
         except KeyError:
             continue
         if kind == LINEAR:
             sd[f"{tprefix}.weight"] = _np(node["kernel"]).T.copy()
             if "bias" in node:
                 sd[f"{tprefix}.bias"] = _np(node["bias"])
+        elif kind == ATTN:
+            w_name, b_name = fpath[-2], fpath[-1]
+            if w_name not in node:
+                continue
+            sd[f"{tprefix}.weight"] = _np(node[w_name]).T.copy()
+            if b_name in node:
+                sd[f"{tprefix}.bias"] = _np(node[b_name])
         elif kind == GRU:
             sd[f"{tprefix}.weight_ih_l0"] = _np(node["w_ih"]).T.copy()
             sd[f"{tprefix}.weight_hh_l0"] = _np(node["w_hh"]).T.copy()

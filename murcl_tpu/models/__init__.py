@@ -11,7 +11,7 @@ from typing import Optional
 
 from murcl_tpu.models.abmil import ABMIL, masked_attention_pool
 from murcl_tpu.models.cl import CL
-from murcl_tpu.models.clam import CLAM_SB, AttnNet, AttnNetGated
+from murcl_tpu.models.clam import CLAM_SB, AttentionPool
 from murcl_tpu.models.dsmil import MILNet
 from murcl_tpu.models.layers import MLP, TorchGRUCell, TorchLinear, xavier_normal
 from murcl_tpu.models.rlmil import (
@@ -77,8 +77,7 @@ MODELS = {"ABMIL": ABMIL, "CLAM_SB": CLAM_SB, "DSMIL": MILNet}
 __all__ = [
     "ABMIL",
     "ActorCritic",
-    "AttnNet",
-    "AttnNetGated",
+    "AttentionPool",
     "CL",
     "CLAM_SB",
     "FullLayer",

@@ -63,17 +63,32 @@ class ABMIL(nn.Module):
     K: int = 1
     dim_out: int = 2
     dropout: float = 0.0
+    attn_impl: str = "auto"  # auto | xla | pallas (fused attention pooling)
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, train: bool = False):
+        from murcl_tpu.models.clam import AttentionPool
+
         # encoder: three Linear+ReLU blocks, dropout after the first two
         h = MLP((self.L, self.L, self.L), dropout=self.dropout, name="encoder")(x, train=train)
 
-        a = TorchLinear(self.D, name="attn_dense")(h)
-        a = jnp.tanh(a)
-        scores = TorchLinear(self.K, name="attn_score")(a)[..., 0]  # (B, N)
-
-        pooled, weights = masked_attention_pool(scores, h, mask=mask)
+        # ungated tanh attention + softmax pooling (fused kernel on TPU);
+        # ABMIL has no attention dropout, so the fused path also trains
+        pooled, weights, _scores = AttentionPool(
+            D=self.D, gated=False, impl=self.attn_impl, init="torch",
+            name="attn",
+        )(h, mask=mask, train=train)
+        # post-softmax 1/sqrt(N) scaling (abmil.py:41); linear in the pool,
+        # so scaling the pooled vector is exact
+        if mask is None:
+            n = jnp.asarray(h.shape[1], dtype=pooled.dtype)
+            scale = 1.0 / jnp.sqrt(n)
+            pooled = pooled * scale
+            weights = weights * scale
+        else:
+            n = jnp.maximum(mask.sum(axis=-1, keepdims=True), 1).astype(pooled.dtype)
+            pooled = pooled / jnp.sqrt(n)
+            weights = weights / jnp.sqrt(n)
         out = nn.relu(TorchLinear(self.L, name="decoder")(pooled))
 
         # unused-in-forward classification head, kept as a parameter for

@@ -44,36 +44,81 @@ def _xavier_linear(features: int, name: str) -> TorchLinear:
     )
 
 
-class AttnNet(nn.Module):
-    """Ungated attention scorer ``L -> D -> tanh -> n_classes``."""
+class AttentionPool(nn.Module):
+    """Attention scorer + softmax pooling, fusable into one Pallas kernel.
+
+    Owns the parameters directly (``wa/ba/wb/bb/wc/bc``, xavier-normal /
+    zero-bias like the reference init) so the fused TPU kernel
+    (:mod:`murcl_tpu.ops.attention_pallas`) can consume them without
+    re-tracing submodules. Semantics per mode:
+
+    - ``gated=True``:  ``s = W_c(tanh(W_a x) * sigmoid(W_b x))`` (clam.py:37-60)
+    - ``gated=False``: ``s = W_c(tanh(W_a x))``                  (clam.py:19-34)
+
+    ``__call__(x, mask, train)`` returns ``(pooled (B,F), weights (B,N),
+    raw_scores (B,N))``. The fused kernel has no dropout, so when attention
+    dropout is active (train mode, dropout>0) the XLA path runs regardless
+    of ``impl`` — identical math, XLA-fused.
+    """
 
     D: int
-    n_classes: int = 1
+    gated: bool = True
     dropout: float = 0.0
+    impl: str = "auto"  # auto | xla | pallas
+    init: str = "xavier"  # xavier (CLAM) | torch (ABMIL's nn.Linear default)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        a = jnp.tanh(_xavier_linear(self.D, "dense")(x))
-        if self.dropout > 0:
-            a = nn.Dropout(self.dropout, deterministic=not train)(a)
-        return _xavier_linear(self.n_classes, "score")(a)
+    def __call__(self, x, mask=None, train: bool = False):
+        import math
 
+        from murcl_tpu.ops.attention_pallas import gated_attention_pool
 
-class AttnNetGated(nn.Module):
-    """Gated attention: ``W_c(tanh(W_a x) * sigmoid(W_b x))``."""
+        f = x.shape[-1]
+        if self.init == "xavier":
+            k1 = k2 = xavier_normal()
+            b1 = b2 = jax.nn.initializers.zeros
+        else:  # torch nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+            def uni(bound):
+                return lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                    key, shape, dtype, minval=-bound, maxval=bound
+                )
 
-    D: int
-    n_classes: int = 1
-    dropout: float = 0.0
+            k1 = b1 = uni(1.0 / math.sqrt(f))
+            k2 = b2 = uni(1.0 / math.sqrt(self.D))
+        wa = self.param("wa", k1, (f, self.D))
+        ba = self.param("ba", b1, (self.D,))
+        if self.gated:
+            wb = self.param("wb", k1, (f, self.D))
+            bb = self.param("bb", b1, (self.D,))
+        else:  # no gate branch: inert inputs for the fused op's signature
+            wb = jnp.zeros((f, self.D), x.dtype)
+            bb = jnp.zeros((self.D,), x.dtype)
+        wc = self.param("wc", k2, (self.D, 1))
+        bc = self.param("bc", b2, (1,))
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        a = jnp.tanh(_xavier_linear(self.D, "attention_a")(x))
-        b = jax.nn.sigmoid(_xavier_linear(self.D, "attention_b")(x))
-        if self.dropout > 0:
-            a = nn.Dropout(self.dropout, deterministic=not train)(a)
-            b = nn.Dropout(self.dropout, deterministic=not train)(b)
-        return _xavier_linear(self.n_classes, "attention_c")(a * b)
+        use_dropout = train and self.dropout > 0
+        if use_dropout or self.is_initializing():
+            # dropout path: explicit gates with per-gate dropout masks
+            # (clam.py:46-48); also used at init so tracing stays trivial
+            a = jnp.tanh(jnp.einsum("bnf,fd->bnd", x, wa) + ba)
+            if self.gated:
+                b = jax.nn.sigmoid(jnp.einsum("bnf,fd->bnd", x, wb) + bb)
+            if use_dropout:
+                a = nn.Dropout(self.dropout, deterministic=False)(a)
+                if self.gated:
+                    b = nn.Dropout(self.dropout, deterministic=False)(b)
+            elif self.dropout > 0:
+                nn.Dropout(self.dropout, deterministic=True)(a)  # materialize rng collection
+            u = a * b if self.gated else a
+            s = jnp.einsum("bnd,do->bno", u, wc)[..., 0] + bc[0]
+            masked = s if mask is None else jnp.where(mask, s, -1e30)
+            p = nn.softmax(masked, axis=-1)
+            m = jnp.einsum("bn,bnf->bf", p, x)
+            return m, p, s
+        return gated_attention_pool(
+            x, wa, ba, wb, bb, wc[:, 0], bc[0], mask=mask,
+            impl=self.impl, gated=self.gated,
+        )
 
 
 def _cross_entropy(logits, targets):
@@ -98,6 +143,7 @@ class CLAM_SB(nn.Module):
     k_sample: int = 8
     n_classes: int = 2
     subtyping: bool = False
+    attn_impl: str = "auto"  # auto | xla | pallas (fused attention pooling)
 
     @nn.compact
     def __call__(
@@ -112,13 +158,10 @@ class CLAM_SB(nn.Module):
         x = nn.relu(_xavier_linear(l1, "fc")(h))
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        attn_cls = AttnNetGated if self.gate else AttnNet
-        scores = attn_cls(D=l2, n_classes=1, dropout=self.dropout, name="attn")(x, train=train)
-        scores = scores[..., 0]  # (B, N)
-
-        masked = scores if mask is None else jnp.where(mask, scores, _NEG_INF)
-        weights = nn.softmax(masked, axis=-1)  # (B, N)
-        m = jnp.einsum("bn,bnl->bl", weights, x)  # (B, l1)
+        m, weights, scores = AttentionPool(
+            D=l2, gated=self.gate, dropout=self.dropout, impl=self.attn_impl,
+            name="attn",
+        )(x, mask=mask, train=train)
 
         # dead-code bag head, kept as parameters (clam.py:78,171-173)
         logits = _xavier_linear(self.n_classes, "classifiers")(m)

@@ -1,0 +1,268 @@
+"""Fused (gated-)attention pooling as a Pallas TPU kernel (fwd + custom VJP).
+
+The hot op of CLAM_SB (gated) and ABMIL (ungated): per bag,
+
+    a = tanh(x @ Wa + ba)                                  # (N, D)
+    g = sigmoid(x @ Wb + bb)          (gated only)
+    s = (a [* g]) @ wc + bc                                # scores (N,)
+    p = softmax(s) over the bag                            # weights
+    M = p @ x                                              # pooled (F,)
+
+XLA materializes the (B, N, D) gate tensors in HBM between the matmuls and
+the softmax breaks fusion into multiple passes over the bag. Here one
+kernel invocation per bag keeps the whole bag resident in VMEM (a
+1024 x 512 f32 bag is 2 MB against ~16 MB VMEM): the MXU matmuls, the
+elementwise gates, the softmax, and the pooling contraction all fuse, and
+the gate tensors never touch HBM. The backward kernel recomputes the gates
+from the same VMEM-resident bag (rematerialization is one more fused pass)
+and accumulates weight gradients across the sequential grid steps directly
+in the output buffers.
+
+Returns ``(M, p, s)`` — pooled embedding, softmax weights, and the RAW
+pre-softmax scores (the reference's ``attention_only`` output,
+``clam.py:141-142``). Numerics are tested against the plain-XLA reference
+(:func:`gated_attention_pool_xla`), which remains the default on CPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Plain-XLA reference (default on CPU; golden model for the kernel)
+# ---------------------------------------------------------------------------
+def gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask=None,
+                             gated: bool = True):
+    """Reference implementation. ``x``: (B, N, F); returns ``(M, p, s)``."""
+    a = jnp.tanh(jnp.einsum("bnf,fd->bnd", x, wa) + ba)
+    if gated:
+        a = a * jax.nn.sigmoid(jnp.einsum("bnf,fd->bnd", x, wb) + bb)
+    s = jnp.einsum("bnd,d->bn", a, wc) + bc
+    masked = s if mask is None else jnp.where(mask, s, _NEG_INF)
+    p = jax.nn.softmax(masked, axis=-1)
+    m = jnp.einsum("bn,bnf->bf", p, x)
+    return m, p, s
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+def _make_fwd_kernel(gated: bool):
+    def kernel(x_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
+               mask_ref, m_ref, p_ref, s_ref):
+        x = x_ref[0]  # (N, F)
+        a = jnp.tanh(
+            jnp.dot(x, wa_ref[:], preferred_element_type=jnp.float32) + ba_ref[0]
+        )
+        if gated:
+            a = a * jax.nn.sigmoid(
+                jnp.dot(x, wb_ref[:], preferred_element_type=jnp.float32) + bb_ref[0]
+            )
+        s = jnp.dot(a, wc_ref[:], preferred_element_type=jnp.float32)[:, 0] + bc_ref[0, 0]
+        s_ref[0, 0] = s
+        sm = jnp.where(mask_ref[0, 0], s, _NEG_INF)
+        sm = sm - jnp.max(sm)
+        e = jnp.exp(sm)
+        p = e / jnp.sum(e)
+        p_ref[0, 0] = p
+        m_ref[0, 0] = jnp.dot(p.reshape(1, -1), x, preferred_element_type=jnp.float32)[0]
+
+    return kernel
+
+
+def _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated: bool):
+    b, n, f = x.shape
+    d = wa.shape[1]
+    m, p, s = pl.pallas_call(
+        _make_fwd_kernel(gated),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+        ],
+    )(x, wa, ba.reshape(1, -1), wb, bb.reshape(1, -1), wc.reshape(-1, 1),
+      bc.reshape(1, 1), mask.reshape(b, 1, n))
+    return m[:, 0], p[:, 0], s[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+def _make_bwd_kernel(gated: bool):
+    def kernel(x_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref,
+               mask_ref, p_ref, gm_ref, gp_ref, gs_ref,
+               dx_ref, dwa_ref, dba_ref, dwb_ref, dbb_ref, dwc_ref, dbc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dwa_ref[:] = jnp.zeros_like(dwa_ref)
+            dba_ref[:] = jnp.zeros_like(dba_ref)
+            dwb_ref[:] = jnp.zeros_like(dwb_ref)
+            dbb_ref[:] = jnp.zeros_like(dbb_ref)
+            dwc_ref[:] = jnp.zeros_like(dwc_ref)
+            dbc_ref[:] = jnp.zeros_like(dbc_ref)
+
+        x = x_ref[0]  # (N, F)
+        p = p_ref[0, 0]  # (N,)
+        gm = gm_ref[0, 0]  # (F,)
+        mask = mask_ref[0, 0]
+
+        # recompute gates (VMEM-resident, one fused pass)
+        a = jnp.tanh(
+            jnp.dot(x, wa_ref[:], preferred_element_type=jnp.float32) + ba_ref[0]
+        )
+        if gated:
+            g = jax.nn.sigmoid(
+                jnp.dot(x, wb_ref[:], preferred_element_type=jnp.float32) + bb_ref[0]
+            )
+            u = a * g
+        else:
+            u = a
+
+        # dL/dp: pooling backward + any direct cotangent on p
+        dp = jnp.dot(x, gm.reshape(-1, 1), preferred_element_type=jnp.float32)[:, 0]
+        dp = dp + gp_ref[0, 0]
+        # softmax backward (masked positions got p=0) + raw-score cotangent
+        ds = p * (dp - jnp.sum(p * dp))
+        ds = jnp.where(mask, ds, 0.0) + gs_ref[0, 0]
+
+        dbc_ref[0, 0] += jnp.sum(ds)
+        dwc_ref[:] += jnp.dot(u.T, ds.reshape(-1, 1),
+                              preferred_element_type=jnp.float32)
+        du = ds.reshape(-1, 1) * wc_ref[:].reshape(1, -1)  # (N, D)
+        if gated:
+            dza = du * g * (1.0 - a * a)
+            dzb = du * a * g * (1.0 - g)
+            dwb_ref[:] += jnp.dot(x.T, dzb, preferred_element_type=jnp.float32)
+            dbb_ref[0] += jnp.sum(dzb, axis=0)
+        else:
+            dza = du * (1.0 - a * a)
+            dzb = None
+
+        dwa_ref[:] += jnp.dot(x.T, dza, preferred_element_type=jnp.float32)
+        dba_ref[0] += jnp.sum(dza, axis=0)
+
+        dx = (
+            p.reshape(-1, 1) * gm.reshape(1, -1)
+            + jnp.dot(dza, wa_ref[:].T, preferred_element_type=jnp.float32)
+        )
+        if gated:
+            dx = dx + jnp.dot(dzb, wb_ref[:].T, preferred_element_type=jnp.float32)
+        dx_ref[0] = dx
+
+    return kernel
+
+
+def _bwd_pallas(x, wa, ba, wb, bb, wc, mask, p, gm, gp, gs, gated: bool):
+    b, n, f = x.shape
+    d = wa.shape[1]
+    outs = pl.pallas_call(
+        _make_bwd_kernel(gated),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, f), jnp.float32),
+            jax.ShapeDtypeStruct((f, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((f, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+    )(x, wa, ba.reshape(1, -1), wb, bb.reshape(1, -1), wc.reshape(-1, 1),
+      mask.reshape(b, 1, n), p.reshape(b, 1, n), gm.reshape(b, 1, f),
+      gp.reshape(b, 1, n), gs.reshape(b, 1, n))
+    dx, dwa, dba, dwb, dbb, dwc, dbc = outs
+    return dx, dwa, dba[0], dwb, dbb[0], dwc[:, 0], dbc[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrappers (one per gating mode; `gated` must be static)
+# ---------------------------------------------------------------------------
+def _make_op(gated: bool):
+    @jax.custom_vjp
+    def op(x, wa, ba, wb, bb, wc, bc, mask):
+        return _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated)
+
+    def fwd(x, wa, ba, wb, bb, wc, bc, mask):
+        m, p, s = _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated)
+        return (m, p, s), (x, wa, ba, wb, bb, wc, mask, p)
+
+    def bwd(res, cot):
+        x, wa, ba, wb, bb, wc, mask, p = res
+        gm, gp, gs = cot
+        dx, dwa, dba, dwb, dbb, dwc, dbc = _bwd_pallas(
+            x, wa, ba, wb, bb, wc, mask, p, gm, gp, gs, gated
+        )
+        return dx, dwa, dba, dwb, dbb, dwc, dbc, None
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+_GATED_OP = _make_op(True)
+_UNGATED_OP = _make_op(False)
+
+
+def gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=None,
+                         impl: str = "auto", gated: bool = True):
+    """Fused attention pooling; picks Pallas on TPU, XLA elsewhere.
+
+    Returns ``(M (B,F), p (B,N), s (B,N))``.
+    """
+    if mask is None:
+        mask = jnp.ones(x.shape[:2], dtype=bool)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        op = _GATED_OP if gated else _UNGATED_OP
+        return op(
+            x.astype(jnp.float32), wa, ba, wb, bb, wc,
+            jnp.asarray(bc, jnp.float32).reshape(()), mask,
+        )
+    return gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask=mask,
+                                    gated=gated)

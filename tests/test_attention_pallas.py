@@ -1,0 +1,76 @@
+"""Fused attention-pooling kernel vs the XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import murcl_tpu.ops.attention_pallas as gap
+
+B, N, F, D = 3, 16, 8, 4
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(gap.pl, "pallas_call", interp)
+
+
+@pytest.fixture()
+def inputs(rng):
+    x = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+    wa = jnp.asarray(rng.normal(size=(F, D)).astype(np.float32) * 0.3)
+    ba = jnp.asarray(rng.normal(size=(D,)).astype(np.float32) * 0.1)
+    wb = jnp.asarray(rng.normal(size=(F, D)).astype(np.float32) * 0.3)
+    bb = jnp.asarray(rng.normal(size=(D,)).astype(np.float32) * 0.1)
+    wc = jnp.asarray(rng.normal(size=(D,)).astype(np.float32) * 0.3)
+    bc = jnp.float32(0.05)
+    mask = jnp.asarray(np.arange(N)[None, :] < np.array([16, 10, 5])[:, None])
+    return x, wa, ba, wb, bb, wc, bc, mask
+
+
+@pytest.mark.parametrize("gated", [True, False])
+def test_forward_matches_xla(inputs, gated):
+    x, wa, ba, wb, bb, wc, bc, mask = inputs
+    want = gap.gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask, gated=gated)
+    got = gap.gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask,
+                                   impl="pallas", gated=gated)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)
+
+
+@pytest.mark.parametrize("gated", [True, False])
+def test_grads_match_xla(inputs, gated):
+    x, wa, ba, wb, bb, wc, bc, mask = inputs
+
+    def loss(impl):
+        def f(x, wa, ba, wb, bb, wc, bc):
+            m, p, s = gap.gated_attention_pool(
+                x, wa, ba, wb, bb, wc, bc, mask, impl=impl, gated=gated
+            )
+            # exercise all three cotangents
+            return jnp.sum(m * m) + jnp.sum(jnp.sin(p)) + 0.1 * jnp.sum(jnp.cos(s))
+
+        return f
+
+    args = (x, wa, ba, wb, bb, wc, bc)
+    g_xla = jax.grad(loss("xla"), argnums=tuple(range(7)))(*args)
+    g_pal = jax.grad(loss("pallas"), argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(["x", "wa", "ba", "wb", "bb", "wc", "bc"], g_xla, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(b).reshape(np.asarray(a).shape), np.asarray(a),
+            atol=2e-5, err_msg=name,
+        )
+
+
+def test_full_mask_equals_no_mask(inputs):
+    x, wa, ba, wb, bb, wc, bc, _ = inputs
+    got = gap.gated_attention_pool(x, wa, ba, wb, bb, wc, bc, impl="pallas")
+    want = gap.gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), atol=1e-6)

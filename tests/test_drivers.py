@@ -1,0 +1,123 @@
+"""Driver integration tests: full training runs on the synthetic dataset.
+
+Exercises the programmatic API (``default_args``) end-to-end: MuRCL
+pretraining stages with checkpoint chaining, downstream finetune with
+pretrained-weight surgery, artifact layout, and torch-checkpoint export.
+Small shapes keep each run to a few seconds on CPU.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from murcl_tpu.drivers import murcl, rlmil
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    from murcl_tpu.data.synthetic import generate_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("drv")
+    return generate_synthetic_dataset(root, num_slides=10, dim=16,
+                                      num_clusters=4, seed=985)
+
+
+def _murcl_args(synth, tmp, stage, **kw):
+    return murcl.default_args(
+        dataset="synt", data_csv=synth["data_csv"],
+        data_split_json=synth["data_split_json"], feat_size=16, T=2,
+        train_stage=stage, epochs=1, ppo_epochs=1, batch_size=2,
+        data_repeat=1, projection_dim=8, model_dim=16, fc_hidden_dim=16,
+        policy_hidden_dim=16, arch="ABMIL", D=4,
+        base_save_dir=str(tmp), exist_ok=True, device="cpu", **kw,
+    )
+
+
+def _rlmil_args(synth, tmp, stage, method, **kw):
+    return rlmil.default_args(
+        dataset="synt", data_csv=synth["data_csv"],
+        data_split_json=synth["data_split_json"], feat_size=16, T=2,
+        train_method=method, train_stage=stage, epochs=1, ppo_epochs=1,
+        batch_size=2, arch="ABMIL", L=16, D=4, fc_hidden_dim=16,
+        policy_hidden_dim=16, base_save_dir=str(tmp), exist_ok=True,
+        save_model=True, device="cpu", **kw,
+    )
+
+
+def test_murcl_three_stages_then_finetune(synth, tmp_path):
+    # --- pretraining stages 1 -> 2 -> 3 with automatic chaining -----------
+    out1 = murcl.run(_murcl_args(synth, tmp_path, 1))
+    assert Path(out1["save_dir"], "model_best.pth.tar").exists()
+    assert Path(out1["save_dir"], "losses.csv").exists()
+    assert Path(out1["save_dir"], "args.yaml").exists()
+    assert np.isfinite(out1["best_loss"])
+
+    out2 = murcl.run(_murcl_args(synth, tmp_path, 2))
+    assert Path(out2["save_dir"]).name == "stage_2"
+    out3 = murcl.run(_murcl_args(synth, tmp_path, 3))
+    pretrained = str(Path(out3["save_dir"], "model_best.pth.tar"))
+
+    # --- downstream finetune stage 1 from the pretrained checkpoint -------
+    res = rlmil.run(_rlmil_args(synth, tmp_path, 1, "finetune",
+                                checkpoint_pretrained=pretrained))
+    save_dir = Path(res["save_dir"])
+    for artifact in ("pred.csv", "final_res.csv", "losses.csv", "accs.csv",
+                     "aucs.csv", "results.csv", "args.yaml",
+                     "model_best.pth.tar"):
+        assert (save_dir / artifact).exists(), artifact
+
+    import pandas as pd
+
+    preds = pd.read_csv(save_dir / "pred.csv", index_col="case_id")
+    assert set(preds.columns) == {"label", "pred", "correct", "prob0", "prob1"}
+    assert len(preds) == 3  # test split size
+
+    # --- finetune stage 2 takes the policy from the pretrained ckpt -------
+    res2 = rlmil.run(_rlmil_args(synth, tmp_path, 2, "finetune",
+                                 checkpoint_pretrained=pretrained))
+    assert Path(res2["save_dir"]).name == "stage_2"
+
+
+def test_rlmil_linear_eval_freezes_backbone(synth, tmp_path):
+    from murcl_tpu.engine.checkpoint import load_checkpoint
+
+    out1 = murcl.run(_murcl_args(synth, tmp_path, 1))
+    pretrained = str(Path(out1["save_dir"], "model_best.pth.tar"))
+    res = rlmil.run(_rlmil_args(synth, tmp_path, 1, "linear",
+                                checkpoint_pretrained=pretrained))
+    ckpt = load_checkpoint(Path(res["save_dir"]) / "model_best.pth.tar")
+    pre = load_checkpoint(pretrained)
+    # frozen backbone: encoder weights identical to the pretrained ones
+    got = ckpt["model_state_dict"]["params"]["encoder"]["dense_0"]["kernel"]
+    want = pre["model_state_dict"]["params"]["encoder"]["dense_0"]["kernel"]
+    np.testing.assert_array_equal(got, want)
+    # the fc head (trainable under linear eval) must have moved
+    got_fc = ckpt["model_state_dict"]["params"]["fc"]["kernel"]
+    want_fc = pre["model_state_dict"]["params"]["fc"]["kernel"]
+    # note: pretrain fc head has projection_dim outputs vs num_classes here,
+    # so it was freshly initialized; just check it exists and is finite
+    assert np.isfinite(got_fc).all()
+
+
+def test_torch_checkpoint_roundtrip_through_driver(synth, tmp_path):
+    """Export a trained model as a torch .pth.tar and load it back as the
+    pretrained checkpoint of a finetune run."""
+    torch = pytest.importorskip("torch")
+
+    from murcl_tpu.engine import AggTrainState
+    from murcl_tpu.engine.checkpoint import load_checkpoint
+    from murcl_tpu.engine.torch_import import export_reference_checkpoint
+
+    out1 = murcl.run(_murcl_args(synth, tmp_path, 1))
+    ckpt = load_checkpoint(Path(out1["save_dir"]) / "model_best.pth.tar")
+    agg = AggTrainState(
+        params={"model": ckpt["model_state_dict"], "fc": ckpt["fc"]},
+        opt_state=None,
+    )
+    torch_path = tmp_path / "exported.pth.tar"
+    export_reference_checkpoint(torch_path, "ABMIL", agg)
+
+    res = rlmil.run(_rlmil_args(synth, tmp_path, 1, "finetune",
+                                checkpoint_pretrained=str(torch_path)))
+    assert Path(res["save_dir"], "final_res.csv").exists()
