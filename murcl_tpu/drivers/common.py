@@ -80,6 +80,52 @@ def epoch_batches(
         yield np.concatenate([tail, pad]).astype(np.int32), valid
 
 
+def make_tb_writer(save_dir, enabled: bool):
+    """TensorBoard writer parity (``--use_tensorboard``); gated import."""
+    if not enabled:
+        return None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(str(save_dir))
+    except Exception as e:  # tensorboard not installed
+        print(f"tensorboard unavailable ({type(e).__name__}: {e}); logging disabled")
+        return None
+
+
+class ProfilerHook:
+    """``jax.profiler`` trace over the first N steps of an epoch.
+
+    The reference has no profiling at all (SURVEY §5.1); this writes a
+    TensorBoard-viewable XLA trace into ``<save_dir>/profile`` when
+    ``--profile N`` is set.
+    """
+
+    def __init__(self, save_dir, num_steps: int = 0):
+        self.dir = str(save_dir)
+        self.remaining = int(num_steps)
+        self._active = False
+
+    def step(self):
+        import jax
+
+        if self.remaining > 0 and not self._active:
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+        elif self.remaining == 0 and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+        if self.remaining > 0:
+            self.remaining -= 1
+
+    def close(self):
+        import jax
+
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 class EpochOutputs:
     """Accumulates final-step logits/labels across batches for epoch metrics."""
 

@@ -30,7 +30,7 @@ from murcl_tpu.engine import (
     transfer_params,
 )
 from murcl_tpu.engine.optim import lr_schedule_factory, make_optimizer, set_learning_rates
-from murcl_tpu.drivers.common import epoch_batches, murcl_save_dir
+from murcl_tpu.drivers.common import ProfilerHook, epoch_batches, make_tb_writer, murcl_save_dir
 from murcl_tpu.models import FullLayer, PPO, build_aggregator
 from murcl_tpu.utils.general import (
     AverageMeter,
@@ -149,6 +149,8 @@ def run(args) -> dict:
     results_csv = CSVWriter(save_dir / "results.csv",
                             header=["epoch", "final_epoch", "final_loss"])
     early_stop = EarlyStop(args.patience) if args.patience is not None else None
+    tb_writer = make_tb_writer(save_dir, args.use_tensorboard)
+    profiler = ProfilerHook(save_dir / "profile", getattr(args, "profile", 0))
 
     np_rng = np.random.default_rng(args.seed)
     bank_arrays = BankArrays.from_bank(bank)
@@ -165,21 +167,30 @@ def run(args) -> dict:
                 )
             )
         loss_meter = AverageMeter()
+        # keep per-step losses as device arrays; converting inside the loop
+        # would force a host sync per step and stall the dispatch pipeline
+        step_losses, step_counts = [], []
         n_steps = 0
         for ids, _valid in epoch_batches(
             bank.num_slides, args.num_data, args.batch_size, np_rng,
             drop_partial=True,  # MuRCL fires only on full batches (:233)
         ):
             rng, r_step = jax.random.split(rng)
+            profiler.step()
             agg_state, ppo_state, stats = engine.train_step(
                 agg_state, ppo_state, bank_arrays, jnp.asarray(ids), r_step
             )
-            loss_meter.update(float(stats.step_losses[-1]), len(ids))
+            step_losses.append(stats.step_losses[-1])
+            step_counts.append(len(ids))
             n_steps += 1
+        for loss_arr, cnt in zip(step_losses, step_counts):
+            loss_meter.update(float(loss_arr), cnt)
         train_loss = loss_meter.avg
         dt = time.time() - t0
         steps_per_sec = n_steps / dt if dt > 0 else None
 
+        if tb_writer is not None:
+            tb_writer.add_scalar("train/1.train_loss", train_loss, epoch)
         is_best = best_train_loss.compare(train_loss, epoch + 1, inplace=True)
         save_checkpoint(save_dir, epoch + 1, agg_state, ppo_state, is_best=is_best)
         losses_csv.write_row([epoch + 1, train_loss, best_train_loss.epoch, best_train_loss.best])
@@ -194,6 +205,9 @@ def run(args) -> dict:
             if early_stop.is_stop():
                 break
 
+    profiler.close()
+    if tb_writer is not None:
+        tb_writer.close()
     return {
         "save_dir": args.save_dir,
         "best_loss": best_train_loss.best,
@@ -218,7 +232,7 @@ def default_args(**overrides) -> SimpleNamespace:
         ppo_lr=1e-5, ppo_gamma=0.1, K_epochs=3,
         feature_num=512, fc_hidden_dim=1024, fc_rnn=True,
         D=128, dropout=0.0, size_arg="small", k_sample=8,
-        use_tensorboard=False,
+        use_tensorboard=False, profile=0,
         base_save_dir="./results", save_dir=None, save_dir_flag=None,
         exist_ok=False, device="0", seed=985,
     )

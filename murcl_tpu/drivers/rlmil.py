@@ -42,7 +42,7 @@ from murcl_tpu.engine.optim import (
     make_optimizer,
     set_learning_rates,
 )
-from murcl_tpu.drivers.common import EpochOutputs, epoch_batches, rlmil_save_dir
+from murcl_tpu.drivers.common import EpochOutputs, ProfilerHook, epoch_batches, make_tb_writer, rlmil_save_dir
 from murcl_tpu.models import FullLayer, PPO, build_aggregator
 from murcl_tpu.ops.metrics import get_metrics, get_score
 from murcl_tpu.utils.general import (
@@ -274,6 +274,8 @@ def _train_loop(args, engine, agg_state, ppo_state, banks, rng):
                 "final_precision", "final_recall", "final_f1_score"],
     )
     early_stop = EarlyStop(args.patience) if args.patience is not None else None
+    tb_writer = make_tb_writer(save_dir, args.use_tensorboard)
+    profiler = ProfilerHook(save_dir / "profile", getattr(args, "profile", 0))
 
     best_params = jax.tree_util.tree_map(lambda x: x, agg_state.params)
     best_policy = ppo_state.params if ppo_state is not None else None
@@ -291,21 +293,26 @@ def _train_loop(args, engine, agg_state, ppo_state, banks, rng):
             )
         # --- train epoch ----------------------------------------------------
         outputs = EpochOutputs()
-        last_loss = 0.0
-        n_batches = 0
+        # defer host syncs to epoch end: converting per step would stall the
+        # device dispatch pipeline
+        pending = []
         labels_all = np.asarray(banks["train"].labels)
         for ids, valid in epoch_batches(
             banks["train"].num_slides, args.num_data, args.batch_size, np_rng,
             drop_partial=False,
         ):
             rng, r_step = jax.random.split(rng)
+            profiler.step()
             labels = labels_all[ids]
             agg_state, ppo_state, stats = engine.train_step(
                 agg_state, ppo_state, BankArrays.from_bank(banks["train"]),
                 jnp.asarray(ids), jnp.asarray(labels), r_step, valid=jnp.asarray(valid),
             )
-            outputs.update(stats.logits, labels, valid)
-            last_loss += float(stats.step_losses[-1])
+            pending.append((stats.logits, labels, valid, stats.step_losses[-1]))
+        last_loss, n_batches = 0.0, 0
+        for logits, labels, valid, loss_arr in pending:
+            outputs.update(logits, labels, valid)
+            last_loss += float(loss_arr)
             n_batches += 1
         (train_metrics, _, _) = outputs.metrics()
         train_loss = last_loss / max(1, n_batches)
@@ -317,6 +324,10 @@ def _train_loop(args, engine, agg_state, ppo_state, banks, rng):
         test_loss, test_metrics = _evaluate(args, engine, agg_state, ppo_state, banks["test"], r_t)
         valid_acc, valid_auc, valid_p, valid_r, valid_f1 = valid_metrics
         test_acc, test_auc, test_p, test_r, test_f1 = test_metrics
+
+        if tb_writer is not None:
+            tb_writer.add_scalar("train/1.train_loss", train_loss, epoch)
+            tb_writer.add_scalar("test/2.test_loss", valid_loss, epoch)
 
         # --- model selection (train_RLMIL.py:902-917) -----------------------
         if args.picked_method == "acc":
@@ -379,6 +390,9 @@ def _train_loop(args, engine, agg_state, ppo_state, banks, rng):
             if early_stop.is_stop():
                 break
 
+    profiler.close()
+    if tb_writer is not None:
+        tb_writer.close()
     return {"best_params": best_params, "best_policy": best_policy, "final": final}
 
 
@@ -399,7 +413,7 @@ def default_args(**overrides) -> SimpleNamespace:
         feature_num=512, fc_hidden_dim=1024, fc_rnn=True, load_fc=False,
         L=512, D=128, dropout=0.0,
         size_arg="small", k_sample=8, bag_weight=0.7,
-        loss="CrossEntropyLoss", use_tensorboard=False,
+        loss="CrossEntropyLoss", use_tensorboard=False, profile=0,
         base_save_dir="./results", save_dir=None, save_dir_flag=None,
         exist_ok=False, save_model=False, device="0", seed=985,
         train_model_prime=True, eval_batch_pad=1,

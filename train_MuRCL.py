@@ -66,6 +66,8 @@ def main():
     parser.add_argument('--k_sample', type=int, default=8)
     # Logging
     parser.add_argument('--use_tensorboard', action='store_true', default=False)
+    parser.add_argument('--profile', type=int, default=0,
+                        help="trace the first N train steps with jax.profiler")
     # Save
     parser.add_argument('--base_save_dir', type=str, default='./results')
     parser.add_argument('--save_dir', type=str, default=None)

@@ -76,6 +76,8 @@ def main():
     # Loss
     parser.add_argument('--loss', default='CrossEntropyLoss', type=str, choices=LOSSES)
     parser.add_argument('--use_tensorboard', action='store_true', default=False)
+    parser.add_argument('--profile', type=int, default=0,
+                        help="trace the first N train steps with jax.profiler")
     # Save
     parser.add_argument('--base_save_dir', type=str, default='./results')
     parser.add_argument('--save_dir', type=str, default=None)
