@@ -58,9 +58,12 @@ def measure_ours(steps: int = 10, warmup: int = 2) -> float:
         arch_setting={"gate": True, "dropout": 0.25, "k_sample": 8, "subtyping": True},
     )
     fc = FullLayer(feature_num=feature_num, hidden_state_dim=1024, class_num=128)
+    import os
+
     cfg = PretrainConfig(arch="CLAM_SB", T=T, feat_size=FEAT_SIZE, num_clusters=K,
                          max_patches=bank.max_patches, train_stage=1,
-                         temperature=0.5, alpha=0.9, batch_size=BATCH)
+                         temperature=0.5, alpha=0.9, batch_size=BATCH,
+                         compute_dtype=os.environ.get("MURCL_BENCH_DTYPE", "bfloat16"))
     engine = ContrastiveEngine(cfg, model, fc, tx=optax.adam(1e-4))
 
     rng = jax.random.PRNGKey(0)
@@ -176,7 +179,8 @@ def main():
     result = {
         "metric": "murcl_pretrain_steps_per_sec",
         "value": round(ours, 4),
-        "unit": "steps/sec (batch=128, bag=1024, dim=512, T=6, CLAM_SB)",
+        "unit": "steps/sec (batch=128, bag=1024, dim=512, T=6, CLAM_SB, "
+                + __import__("os").environ.get("MURCL_BENCH_DTYPE", "bfloat16") + ")",
         "vs_baseline": round(ours / baseline, 2) if baseline else None,
     }
     print(json.dumps(result))

@@ -27,6 +27,10 @@ class RolloutConfig:
     bag_weight: float = 0.7  # CLAM (train_RLMIL.py:1134)
     train_model_prime: bool = True  # ABMIL t=0 gradient gate (:719-725)
 
+    # aggregator compute dtype; losses/softmax/GRU head stay float32.
+    # bfloat16 feeds the MXU at full rate (f32 runs at ~1/4 peak on v5e)
+    compute_dtype: str = "float32"  # float32 | bfloat16
+
     @property
     def uses_policy(self) -> bool:
         return self.train_stage != 1

@@ -31,7 +31,7 @@ from murcl_tpu.engine.losses import cosine_similarity
 from murcl_tpu.engine.supervised import AggTrainState, BankArrays
 from murcl_tpu.models.rlmil import PPO, PPOTrainState, PolicyStep, Rollout, act
 from murcl_tpu.ops.mixup import mixup
-from murcl_tpu.ops.ntxent import nt_xent
+from murcl_tpu.ops.ntxent_pallas import nt_xent_fused as nt_xent
 from murcl_tpu.ops.select import select_feats
 
 
@@ -61,6 +61,7 @@ class ContrastiveEngine:
         self.fc = fc
         self.ppo = ppo
         self.tx = tx
+        self._cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self._train = jax.jit(self._train_impl)
 
     # ------------------------------------------------------------- setup --
@@ -80,8 +81,10 @@ class ContrastiveEngine:
     def _encode(self, model_params, feats, train, rng):
         """Aggregator forward -> (projection input (B, F), rl state (B, S))."""
         rngs = {"dropout": rng} if train else None
+        feats = feats.astype(self._cdtype)
         out = self.model.apply(model_params, feats, train=train, rngs=rngs)
         emb = out[0] if isinstance(out, tuple) else out
+        emb = emb.astype(jnp.float32)  # GRU head / losses stay f32
         return emb, jax.lax.stop_gradient(emb)
 
     def _rollout(self, params, ppo_old_params, bank: BankArrays, slide_ids,

@@ -92,6 +92,7 @@ class SupervisedEngine:
         self.fc = fc
         self.ppo = ppo
         self.tx = tx
+        self._cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self._train = jax.jit(self._train_impl)
         self._eval = jax.jit(self._eval_impl)
 
@@ -120,20 +121,23 @@ class SupervisedEngine:
     def _arch_forward(self, model_params, feats, labels, valid, train, rng):
         """Returns ``(fc_in (B, F), extra_step_loss scalar)`` per arch."""
         cfg = self.cfg
+        feats = feats.astype(self._cdtype)
         rngs = {"dropout": rng} if train else None
         if cfg.arch == "ABMIL":
             out, _aux = self.model.apply(model_params, feats, train=train, rngs=rngs)
-            return out, jnp.float32(0.0)
+            return out.astype(jnp.float32), jnp.float32(0.0)
         if cfg.arch == "CLAM_SB":
             m, aux = self.model.apply(
                 model_params, feats, labels, True, train=train, rngs=rngs
             )
-            extra = (1.0 - cfg.bag_weight) * masked_mean(aux["instance_loss"], valid)
-            return m, extra
+            extra = (1.0 - cfg.bag_weight) * masked_mean(
+                aux["instance_loss"].astype(jnp.float32), valid
+            )
+            return m.astype(jnp.float32), extra
         if cfg.arch == "DSMIL":
             inst, bag, _aux = self.model.apply(model_params, feats, train=train, rngs=rngs)
-            fc_in = jnp.mean(bag, axis=1)
-            inst_max = jnp.max(inst, axis=1)  # (B, C) max-pooled instance logits
+            fc_in = jnp.mean(bag, axis=1).astype(jnp.float32)
+            inst_max = jnp.max(inst, axis=1).astype(jnp.float32)
             extra = 0.5 * cross_entropy(inst_max, labels, valid)
             return fc_in, extra
         raise ValueError(f"unknown arch {self.cfg.arch!r}")

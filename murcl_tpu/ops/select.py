@@ -64,12 +64,19 @@ def _select_one(
     flag = jnp.zeros((max_patches,), dtype=jnp.bool_)
     flag = flag.at[cluster_table.reshape(-1)].max(picked.reshape(-1))
 
-    # Stable sort: selected patches first, each group in ascending index
-    # order — the first feat_size entries are the reference's
-    # sorted-union-then-truncate, and short unions read padding (valid=False).
-    order = jnp.argsort(jnp.logical_not(flag), stable=True)
-    idx = jax.lax.dynamic_slice_in_dim(order, 0, feat_size).astype(jnp.int32)
-    valid = flag[idx]
+    # Ascending sorted union without a sort: the rank of each selected patch
+    # is its exclusive prefix count, so one cumsum + one scatter produce the
+    # first-feat_size slice of the sorted union (ranks >= feat_size and
+    # unselected entries scatter out of bounds and are dropped). An argsort
+    # here (bitonic, O(N log^2 N) lane shuffles) dominated the train step.
+    rank = jnp.cumsum(flag) - 1  # (Nmax,), exclusive prefix count
+    target = jnp.where(flag, rank, max_patches + feat_size)  # OOB when unselected
+    patch_ids = jax.lax.broadcasted_iota(jnp.int32, (max_patches, 1), 0)[:, 0]
+    idx = jnp.zeros((feat_size,), jnp.int32).at[target].set(
+        patch_ids, mode="drop"
+    )
+    count = jnp.minimum(flag.sum(), feat_size)
+    valid = jax.lax.broadcasted_iota(jnp.int32, (feat_size, 1), 0)[:, 0] < count
     return idx, valid
 
 
