@@ -20,9 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
-from murcl_tpu.data.bank import build_bank
+from murcl_tpu.data.sources import build_sources
 from murcl_tpu.engine import (
-    BankArrays,
     ContrastiveEngine,
     PretrainConfig,
     load_checkpoint,
@@ -72,12 +71,15 @@ def run(args) -> dict:
     print(f"save_dir: {args.save_dir}")
 
     indices = load_json(args.data_split_json)["train"]
-    bank = build_bank(args.data_csv, indices=indices).device()
-    args.num_clusters = bank.num_clusters
-    dim_patch = bank.patch_dim
-    args.num_data = bank.num_slides * args.data_repeat
+    src = build_sources(
+        args.data_csv, {"train": indices},
+        streaming=getattr(args, "streaming", False),
+    )["train"]
+    args.num_clusters = src.num_clusters
+    dim_patch = src.patch_dim
+    args.num_data = src.num_slides * args.data_repeat
     args.eval_step = int(args.num_data / args.batch_size)
-    print(f"train_length: {bank.num_slides}, epoch_step: {args.num_data}, eval_step: {args.eval_step}")
+    print(f"train_length: {src.num_slides}, epoch_step: {args.num_data}, eval_step: {args.eval_step}")
 
     # ---- model / fc / ppo --------------------------------------------------
     model, feature_num = build_aggregator(
@@ -109,9 +111,10 @@ def run(args) -> dict:
 
     cfg = PretrainConfig(
         arch=args.arch, T=args.T, feat_size=args.feat_size,
-        num_clusters=args.num_clusters, max_patches=bank.max_patches,
+        num_clusters=args.num_clusters, max_patches=src.max_patches,
         train_stage=args.train_stage, num_classes=args.projection_dim,
         alpha=args.alpha, temperature=args.temperature, batch_size=args.batch_size,
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
     )
     engine = ContrastiveEngine(cfg, model, fc, ppo=ppo, tx=tx)
 
@@ -153,7 +156,6 @@ def run(args) -> dict:
     profiler = ProfilerHook(save_dir / "profile", getattr(args, "profile", 0))
 
     np_rng = np.random.default_rng(args.seed)
-    bank_arrays = BankArrays.from_bank(bank)
     backbone_lr_fn = lr_schedule_factory(args.scheduler, args.backbone_lr, args.epochs, int(args.warmup))
     fc_lr_fn = lr_schedule_factory(args.scheduler, args.fc_lr, args.epochs, int(args.warmup))
 
@@ -172,13 +174,14 @@ def run(args) -> dict:
         step_losses, step_counts = [], []
         n_steps = 0
         for ids, _valid in epoch_batches(
-            bank.num_slides, args.num_data, args.batch_size, np_rng,
+            src.num_slides, args.num_data, args.batch_size, np_rng,
             drop_partial=True,  # MuRCL fires only on full batches (:233)
         ):
             rng, r_step = jax.random.split(rng)
             profiler.step()
+            bank_arrays, slide_ids, _labels = src.batch(ids)
             agg_state, ppo_state, stats = engine.train_step(
-                agg_state, ppo_state, bank_arrays, jnp.asarray(ids), r_step
+                agg_state, ppo_state, bank_arrays, slide_ids, r_step
             )
             step_losses.append(stats.step_losses[-1])
             step_counts.append(len(ids))
@@ -234,7 +237,8 @@ def default_args(**overrides) -> SimpleNamespace:
         D=128, dropout=0.0, size_arg="small", k_sample=8,
         use_tensorboard=False, profile=0,
         base_save_dir="./results", save_dir=None, save_dir_flag=None,
-        exist_ok=False, device="0", seed=985,
+        exist_ok=False, device="0", seed=985, compute_dtype="float32",
+        streaming=False,
     )
     for k, v in overrides.items():
         setattr(ns, k, v)

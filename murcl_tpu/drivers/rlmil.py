@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import yaml
 
-from murcl_tpu.data.bank import build_bank, harmonize_banks
+from murcl_tpu.data.sources import build_sources
 from murcl_tpu.engine import (
     AggTrainState,
     BankArrays,
@@ -55,15 +55,17 @@ from murcl_tpu.utils.general import (
 )
 
 
-def _build_banks(args):
+def _build_sources(args):
     indices = load_json(args.data_split_json)
-    banks = {
-        "train": build_bank(args.data_csv, indices=indices[args.train_data]),
-        "valid": build_bank(args.data_csv, indices=indices["valid"]),
-        "test": build_bank(args.data_csv, indices=indices["test"]),
-    }
-    banks = harmonize_banks(banks)
-    return {k: b.device() for k, b in banks.items()}
+    return build_sources(
+        args.data_csv,
+        {
+            "train": indices[args.train_data],
+            "valid": indices["valid"],
+            "test": indices["test"],
+        },
+        streaming=getattr(args, "streaming", False),
+    )
 
 
 def _arch_setting(args) -> dict:
@@ -108,10 +110,10 @@ def run(args) -> dict:
     Path(args.save_dir).mkdir(parents=True, exist_ok=True)
     print(f"save_dir: {args.save_dir}")
 
-    banks = _build_banks(args)
-    args.num_clusters = banks["train"].num_clusters
-    dim_patch = banks["train"].patch_dim
-    train_length = banks["train"].num_slides
+    sources = _build_sources(args)
+    args.num_clusters = sources["train"].num_clusters
+    dim_patch = sources["train"].patch_dim
+    train_length = sources["train"].num_slides
     args.num_data = train_length
     args.eval_step = max(1, int(args.num_data / args.batch_size))
     print(f"train_length: {train_length}, epoch_step: {args.num_data}, eval_step: {args.eval_step}")
@@ -149,9 +151,10 @@ def run(args) -> dict:
 
     cfg = RolloutConfig(
         arch=args.arch, T=args.T, feat_size=args.feat_size,
-        num_clusters=args.num_clusters, max_patches=banks["train"].max_patches,
+        num_clusters=args.num_clusters, max_patches=sources["train"].max_patches,
         train_stage=args.train_stage, num_classes=args.num_classes,
         bag_weight=args.bag_weight, train_model_prime=args.train_model_prime,
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
     )
     engine = SupervisedEngine(cfg, model, fc, ppo=ppo, tx=tx)
 
@@ -202,7 +205,7 @@ def run(args) -> dict:
         yaml.dump({k: v for k, v in vars(args).items()}, fp, sort_keys=False)
 
     # ---- training loop ----------------------------------------------------
-    result = _train_loop(args, engine, agg_state, ppo_state, banks, rng)
+    result = _train_loop(args, engine, agg_state, ppo_state, sources, rng)
 
     # ---- final test on the best model -------------------------------------
     agg_state = AggTrainState(params=result["best_params"], opt_state=agg_state.opt_state)
@@ -211,7 +214,7 @@ def run(args) -> dict:
             params=result["best_policy"], old_params=result["best_policy"]
         )
     loss, metrics, preds = _evaluate(
-        args, engine, agg_state, ppo_state, banks["test"], jax.random.PRNGKey(args.seed + 1),
+        args, engine, agg_state, ppo_state, sources["test"], jax.random.PRNGKey(args.seed + 1),
         collect_preds=True,
     )
     preds.to_csv(str(Path(args.save_dir) / "pred.csv"))
@@ -223,21 +226,21 @@ def run(args) -> dict:
     return {"final": final, "save_dir": args.save_dir}
 
 
-def _evaluate(args, engine, agg_state, ppo_state, bank, rng, collect_preds=False):
+def _evaluate(args, engine, agg_state, ppo_state, src, rng, collect_preds=False):
     """Whole split as one padded batch (``train_RLMIL.py:417-424``)."""
-    n = bank.num_slides
+    n = src.num_slides
     ids = np.arange(n, dtype=np.int32)
     pad = (-n) % max(1, args.eval_batch_pad)
     if pad:
         ids = np.concatenate([ids, np.full(pad, n - 1, dtype=np.int32)])
     valid = np.arange(ids.shape[0]) < n
-    labels = np.asarray(bank.labels)[ids]
+    bank_arrays, slide_ids, labels = src.batch(ids)
     stats = engine.eval_step(
-        agg_state, ppo_state, BankArrays.from_bank(bank),
-        jnp.asarray(ids), jnp.asarray(labels), rng, valid=jnp.asarray(valid),
+        agg_state, ppo_state, bank_arrays,
+        slide_ids, labels, rng, valid=jnp.asarray(valid),
     )
     logits = np.asarray(stats.logits)[valid]
-    metrics = get_metrics(logits, np.asarray(bank.labels))
+    metrics = get_metrics(logits, np.asarray(src.labels))
     loss = float(stats.step_losses[-1])
     if not collect_preds:
         return loss, metrics
@@ -247,16 +250,16 @@ def _evaluate(args, engine, agg_state, ppo_state, bank, rng, collect_preds=False
     preds = pd.DataFrame(
         columns=["label", "pred", "correct", *[f"prob{i}" for i in range(probs.shape[1])]]
     )
-    for i, case_id in enumerate(bank.case_ids):
+    for i, case_id in enumerate(src.case_ids):
         preds.loc[case_id] = [
-            int(bank.labels[i]), int(pred[i]), bool(bank.labels[i] == pred[i]),
+            int(src.labels[i]), int(pred[i]), bool(src.labels[i] == pred[i]),
             *[float(probs[i, j]) for j in range(probs.shape[1])],
         ]
     preds.index.rename("case_id", inplace=True)
     return loss, metrics, preds
 
 
-def _train_loop(args, engine, agg_state, ppo_state, banks, rng):
+def _train_loop(args, engine, agg_state, ppo_state, sources, rng):
     save_dir = Path(args.save_dir)
     bests = {
         f"{split}_{m}": BestVariable(order="min" if m == "loss" else "max")
@@ -296,19 +299,20 @@ def _train_loop(args, engine, agg_state, ppo_state, banks, rng):
         # defer host syncs to epoch end: converting per step would stall the
         # device dispatch pipeline
         pending = []
-        labels_all = np.asarray(banks["train"].labels)
+        train_src = sources["train"]
         for ids, valid in epoch_batches(
-            banks["train"].num_slides, args.num_data, args.batch_size, np_rng,
+            train_src.num_slides, args.num_data, args.batch_size, np_rng,
             drop_partial=False,
         ):
             rng, r_step = jax.random.split(rng)
             profiler.step()
-            labels = labels_all[ids]
+            bank_arrays, slide_ids, labels = train_src.batch(ids)
             agg_state, ppo_state, stats = engine.train_step(
-                agg_state, ppo_state, BankArrays.from_bank(banks["train"]),
-                jnp.asarray(ids), jnp.asarray(labels), r_step, valid=jnp.asarray(valid),
+                agg_state, ppo_state, bank_arrays,
+                slide_ids, labels, r_step, valid=jnp.asarray(valid),
             )
-            pending.append((stats.logits, labels, valid, stats.step_losses[-1]))
+            pending.append((stats.logits, np.asarray(train_src.labels)[ids], valid,
+                            stats.step_losses[-1]))
         last_loss, n_batches = 0.0, 0
         for logits, labels, valid, loss_arr in pending:
             outputs.update(logits, labels, valid)
@@ -320,8 +324,8 @@ def _train_loop(args, engine, agg_state, ppo_state, banks, rng):
 
         # --- valid / test ---------------------------------------------------
         rng, r_v, r_t = jax.random.split(rng, 3)
-        valid_loss, valid_metrics = _evaluate(args, engine, agg_state, ppo_state, banks["valid"], r_v)
-        test_loss, test_metrics = _evaluate(args, engine, agg_state, ppo_state, banks["test"], r_t)
+        valid_loss, valid_metrics = _evaluate(args, engine, agg_state, ppo_state, sources["valid"], r_v)
+        test_loss, test_metrics = _evaluate(args, engine, agg_state, ppo_state, sources["test"], r_t)
         valid_acc, valid_auc, valid_p, valid_r, valid_f1 = valid_metrics
         test_acc, test_auc, test_p, test_r, test_f1 = test_metrics
 
@@ -413,10 +417,11 @@ def default_args(**overrides) -> SimpleNamespace:
         feature_num=512, fc_hidden_dim=1024, fc_rnn=True, load_fc=False,
         L=512, D=128, dropout=0.0,
         size_arg="small", k_sample=8, bag_weight=0.7,
-        loss="CrossEntropyLoss", use_tensorboard=False, profile=0,
+        loss="CrossEntropyLoss", use_tensorboard=False,
         base_save_dir="./results", save_dir=None, save_dir_flag=None,
         exist_ok=False, save_model=False, device="0", seed=985,
-        train_model_prime=True, eval_batch_pad=1,
+        train_model_prime=True, eval_batch_pad=1, streaming=False,
+        compute_dtype="float32", profile=0,
     )
     for k, v in overrides.items():
         setattr(ns, k, v)

@@ -149,7 +149,7 @@ def _make_bwd_kernel(gated: bool):
         ds = p * (dp - jnp.sum(p * dp))
         ds = jnp.where(mask, ds, 0.0) + gs_ref[0, 0]
 
-        dbc_ref[0, 0] += jnp.sum(ds)
+        dbc_ref[:] += jnp.sum(ds).reshape(1, 1)  # (1,1) store; scalar VMEM stores are rejected
         dwc_ref[:] += jnp.dot(u.T, ds.reshape(-1, 1),
                               preferred_element_type=jnp.float32)
         du = ds.reshape(-1, 1) * wc_ref[:].reshape(1, -1)  # (N, D)

@@ -29,24 +29,30 @@ def _normalize(z):
     return z / norms, norms
 
 
+def _partner_mask(n: int):
+    """(n, n) bool: True at column ``(row + n/2) mod n`` (the positive pair).
+
+    Built entirely from 2-D iotas — Mosaic's layout engine rejects the 1-D
+    vector intermediates a gather/squeeze formulation produces.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    b = n // 2
+    partner = jnp.where(rows < b, rows + b, rows - b)
+    return cols == partner, rows == cols
+
+
 def _fwd_kernel(zi_ref, zj_ref, temp_ref, loss_ref):
     z = jnp.concatenate([zi_ref[:], zj_ref[:]], axis=0).astype(jnp.float32)
     n = z.shape[0]
     zn, _ = _normalize(z)
     sim = jnp.dot(zn, zn.T, preferred_element_type=jnp.float32) / temp_ref[0, 0]
-    eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == jax.lax.broadcasted_iota(
-        jnp.int32, (n, n), 1
-    )
+    pos_mask, eye = _partner_mask(n)
     sm = jnp.where(eye, _NEG_INF, sim)
-    row_max = jnp.max(sm, axis=1, keepdims=True)
-    lse = jnp.log(jnp.sum(jnp.exp(sm - row_max), axis=1)) + row_max[:, 0]
-    b = n // 2
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    partner = jnp.where(rows < b, rows + b, rows - b)
-    pos = jnp.sum(jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) == partner[:, None], sim, 0.0
-    ), axis=1)
-    loss_ref[0, 0] = jnp.mean(lse - pos)
+    row_max = jnp.max(sm, axis=1, keepdims=True)  # (n, 1)
+    lse = jnp.log(jnp.sum(jnp.exp(sm - row_max), axis=1, keepdims=True)) + row_max
+    pos = jnp.sum(jnp.where(pos_mask, sim, 0.0), axis=1, keepdims=True)  # (n, 1)
+    loss_ref[0, 0] = jnp.sum(lse - pos) / n
 
 
 def _bwd_kernel(zi_ref, zj_ref, temp_ref, g_ref, dzi_ref, dzj_ref):
@@ -55,24 +61,18 @@ def _bwd_kernel(zi_ref, zj_ref, temp_ref, g_ref, dzi_ref, dzj_ref):
     zn, norms = _normalize(z)
     temp = temp_ref[0, 0]
     sim = jnp.dot(zn, zn.T, preferred_element_type=jnp.float32) / temp
-    eye = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) == jax.lax.broadcasted_iota(
-        jnp.int32, (n, n), 1
-    )
+    pos_mask, eye = _partner_mask(n)
     sm = jnp.where(eye, _NEG_INF, sim)
     row_max = jnp.max(sm, axis=1, keepdims=True)
     e = jnp.exp(sm - row_max)
     softmax = e / jnp.sum(e, axis=1, keepdims=True)
-
-    b = n // 2
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    partner = jnp.where(rows < b, rows + b, rows - b)
-    pos_mask = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) == partner[:, None]
 
     # dL/dsim = (softmax - 1{partner}) / n, zero on the diagonal
     gsim = (softmax - jnp.where(pos_mask, 1.0, 0.0)) / n
     gsim = jnp.where(eye, 0.0, gsim) * g_ref[0, 0]
 
     # sim symmetric in zn: dzn = (G + G^T) @ zn / temp
+    b = n // 2
     dzn = jnp.dot(gsim + gsim.T, zn, preferred_element_type=jnp.float32) / temp
     # zn = z / max(|z|, eps): project out the radial component where |z|>eps
     radial = jnp.sum(zn * dzn, axis=1, keepdims=True)

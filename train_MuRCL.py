@@ -77,6 +77,11 @@ def main():
     parser.add_argument('--device', default='0',
                         help="kept for recipe compatibility; JAX picks the backend")
     parser.add_argument('--seed', type=int, default=985)
+    parser.add_argument('--streaming', action='store_true', default=False,
+                        help="host-resident feature bank with per-batch staging (TCGA scale)")
+    parser.add_argument('--compute_dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help="aggregator compute dtype (losses stay float32)")
     args = parser.parse_args()
     murcl.run(args)
 
