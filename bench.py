@@ -52,18 +52,21 @@ def measure_ours(steps: int = 10, warmup: int = 2) -> float:
     from murcl_tpu.engine import BankArrays, ContrastiveEngine, PretrainConfig
     from murcl_tpu.models import FullLayer, build_aggregator
 
-    bank = _synthetic_bank().device()
+    import os
+
+    dtype = os.environ.get("MURCL_BENCH_DTYPE", "bfloat16")
+    # bf16 bank: halves the gather/mixup HBM traffic (the step is
+    # bandwidth-bound), besides feeding the MXU at full rate
+    bank = _synthetic_bank().device(dtype=jnp.bfloat16 if dtype == "bfloat16" else None)
     model, feature_num = build_aggregator(
         "CLAM_SB", dim_in=DIM, num_classes=128,
         arch_setting={"gate": True, "dropout": 0.25, "k_sample": 8, "subtyping": True},
     )
     fc = FullLayer(feature_num=feature_num, hidden_state_dim=1024, class_num=128)
-    import os
-
     cfg = PretrainConfig(arch="CLAM_SB", T=T, feat_size=FEAT_SIZE, num_clusters=K,
                          max_patches=bank.max_patches, train_stage=1,
                          temperature=0.5, alpha=0.9, batch_size=BATCH,
-                         compute_dtype=os.environ.get("MURCL_BENCH_DTYPE", "bfloat16"))
+                         compute_dtype=dtype)
     engine = ContrastiveEngine(cfg, model, fc, tx=optax.adam(1e-4))
 
     rng = jax.random.PRNGKey(0)

@@ -143,7 +143,7 @@ def run_heatmaps(args) -> None:
         attention = scorer(feat)
         coord_filepath = Path(args.coord_dir) / f"{case_id}.json"
         contours = None
-        if args.annotation_dir is not None:
+        if args.annotation_dir is not None and getattr(args, "draw_contours", True):
             xml = Path(args.annotation_dir) / f"{case_id}.xml"
             if xml.exists():
                 contours = load_annotations_xml(xml)

@@ -47,6 +47,19 @@ def increment_path(path, exist_ok: bool = True, sep: str = "") -> str:
     return f"{path}{sep}{n}"
 
 
+def check_file(file: str) -> str:
+    """Return ``file`` if it exists, else search for it recursively from cwd
+    (reference ``utils/general.py:31-39``)."""
+    import glob as _glob
+
+    if Path(file).is_file() or file == "":
+        return file
+    files = _glob.glob(f"./**/{file}", recursive=True)
+    assert len(files), f"File Not Found: {file}"
+    assert len(files) == 1, f"Multiple files match '{file}': {files}"
+    return files[0]
+
+
 def load_yaml(filename):
     with open(filename) as fp:
         return yaml.load(fp, Loader=yaml.FullLoader)

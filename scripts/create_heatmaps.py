@@ -20,6 +20,8 @@ def main():
                         help="MuRCL/RLMIL checkpoint to pull the CLAM weights from")
     parser.add_argument('--annotation_dir', type=str, default=None,
                         help="optional Camelyon16 annotation XML directory")
+    parser.add_argument('--draw_contours', action='store_true', default=False,
+                        help="overlay ground-truth ROI contours from annotation XML")
     parser.add_argument('--arch', type=str, default='CLAM_SB', choices=['CLAM_SB'])
     parser.add_argument('--num_classes', type=int, default=2)
     parser.add_argument('--size_arg', type=str, default='small', choices=['small', 'big'])
