@@ -57,6 +57,8 @@ def _arch_setting(args) -> dict:
 
 def run(args) -> dict:
     init_seeds(args.seed)
+    if getattr(args, "rng_impl", "threefry") == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
     if str(getattr(args, "device", "")) == "cpu":
         # reference --device cpu parity; config beats the env var (the axon
         # sitecustomize registers the TPU backend programmatically)
@@ -139,7 +141,29 @@ def run(args) -> dict:
             pol = transfer_params(ppo_state.params, ckpt["policy"])
             ppo_state = ppo_state._replace(params=pol, old_params=pol)
 
+    start_epoch = 0
+    resume_path = Path(args.save_dir) / "checkpoint.pth.tar"
+    if getattr(args, "resume", False) and resume_path.exists():
+        # crash/preemption resume (absent from the reference, SURVEY §5.3):
+        # restores params, optimizer moments, PPO state, and the epoch count
+        ckpt = load_checkpoint(resume_path)
+        params["model"] = transfer_params(params["model"], ckpt["model_state_dict"])
+        params["fc"] = transfer_params(params["fc"], ckpt["fc"])
+        if ppo_state is not None and ckpt.get("policy") is not None:
+            pol = transfer_params(ppo_state.params, ckpt["policy"])
+            opt = ckpt.get("ppo_optimizer")
+            ppo_state = ppo_state._replace(
+                params=pol, old_params=pol,
+                opt_state=opt if opt is not None else ppo_state.opt_state,
+            )
+        start_epoch = int(ckpt.get("epoch", 0))
+        print(f"resumed from {resume_path} at epoch {start_epoch}")
+
     agg_state = engine.init_state(params)
+    if start_epoch and agg_state.opt_state is not None:
+        ckpt_opt = load_checkpoint(resume_path).get("optimizer")
+        if ckpt_opt is not None:
+            agg_state = agg_state._replace(opt_state=ckpt_opt)
 
     with open(Path(args.save_dir) / "args.yaml", "w") as fp:
         yaml.dump({k: v for k, v in vars(args).items()}, fp, sort_keys=False)
@@ -160,7 +184,7 @@ def run(args) -> dict:
     fc_lr_fn = lr_schedule_factory(args.scheduler, args.fc_lr, args.epochs, int(args.warmup))
 
     steps_per_sec = None
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         if args.train_stage != 2 and args.scheduler is not None:
             agg_state = agg_state._replace(
@@ -237,7 +261,7 @@ def default_args(**overrides) -> SimpleNamespace:
         D=128, dropout=0.0, size_arg="small", k_sample=8,
         use_tensorboard=False, profile=0,
         base_save_dir="./results", save_dir=None, save_dir_flag=None,
-        exist_ok=False, device="0", seed=985, compute_dtype="float32",
+        exist_ok=False, device="0", seed=985, compute_dtype="float32", rng_impl="threefry", resume=False,
         streaming=False,
     )
     for k, v in overrides.items():

@@ -97,6 +97,8 @@ def _load_stage_checkpoint(args, fresh_params, expect: Optional[str] = None):
 
 def run(args) -> dict:
     init_seeds(args.seed)
+    if getattr(args, "rng_impl", "threefry") == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
     if str(getattr(args, "device", "")) == "cpu":
         # reference --device cpu parity; config beats the env var (the axon
         # sitecustomize registers the TPU backend programmatically)
@@ -198,6 +200,17 @@ def run(args) -> dict:
                 ppo_state = ppo_state._replace(params=pol, old_params=pol)
     else:
         raise ValueError(args.train_method)
+
+    resume_path = Path(args.save_dir) / "checkpoint.pth.tar"
+    if getattr(args, "resume", False) and resume_path.exists():
+        # resume from the last saved state (reference cannot restart at all)
+        ckpt = load_checkpoint(resume_path, arch=args.arch)
+        params["model"] = transfer_params(params["model"], ckpt["model_state_dict"])
+        params["fc"] = transfer_params(params["fc"], ckpt["fc"])
+        if ppo_state is not None and ckpt.get("policy") is not None:
+            pol = transfer_params(ppo_state.params, ckpt["policy"])
+            ppo_state = ppo_state._replace(params=pol, old_params=pol)
+        print(f"resumed model/fc/policy from {resume_path}")
 
     agg_state = engine.init_state(params)
 
@@ -421,7 +434,7 @@ def default_args(**overrides) -> SimpleNamespace:
         base_save_dir="./results", save_dir=None, save_dir_flag=None,
         exist_ok=False, save_model=False, device="0", seed=985,
         train_model_prime=True, eval_batch_pad=1, streaming=False,
-        compute_dtype="float32", profile=0,
+        compute_dtype="float32", profile=0, rng_impl="threefry", resume=False,
     )
     for k, v in overrides.items():
         setattr(ns, k, v)

@@ -73,6 +73,8 @@ def main():
     parser.add_argument('--save_dir', type=str, default=None)
     parser.add_argument('--save_dir_flag', type=str, default=None)
     parser.add_argument('--exist_ok', action='store_true', default=False)
+    parser.add_argument('--resume', action='store_true', default=False,
+                        help="resume from <save_dir>/checkpoint.pth.tar (needs --exist_ok)")
     # Global
     parser.add_argument('--device', default='0',
                         help="kept for recipe compatibility; JAX picks the backend")
@@ -82,6 +84,9 @@ def main():
     parser.add_argument('--compute_dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'],
                         help="aggregator compute dtype (losses stay float32)")
+    parser.add_argument('--rng_impl', type=str, default='threefry',
+                        choices=['threefry', 'rbg'],
+                        help="JAX PRNG impl; rbg is ~25%% faster at dropout>0 on TPU")
     args = parser.parse_args()
     murcl.run(args)
 
