@@ -20,6 +20,7 @@ view 0 consumes the carry view 1 wrote. The scan below threads one shared
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
@@ -104,13 +105,20 @@ class ContrastiveEngine:
         # sub-bag and the aggregator's gate tensors) are ~0.5 GB at the
         # canonical shape; storing them for all T steps x 2 views OOMs a
         # 16 GB chip. Recomputing the step in the backward pass trades one
-        # extra fused forward for ~12x less live memory.
-        @jax.checkpoint
+        # extra fused forward for ~12x less live memory — except the mixed
+        # sub-bag itself, which is named and saved (1.6 GB in bf16 for the
+        # whole rollout) so the backward skips the 12 re-gathers.
+        from jax.ad_checkpoint import checkpoint_name
+
+        policy = jax.checkpoint_policies.save_only_these_names("subbag")
+
+        @partial(jax.checkpoint, policy=policy)
         def view_forward(actions, fc_carry, rng_t):
             """select -> mixup -> encode -> project; returns (proj, state, carry)."""
             r_mix, r_drop = jax.random.split(rng_t)
             x = select(actions)
             x, _, _ = mixup(r_mix, x, cfg.alpha)
+            x = checkpoint_name(x.astype(self._cdtype), "subbag")
             emb, state = self._encode(mp, x, train, r_drop)
             proj, new_carry = self.fc.apply(fcp, emb, fc_carry)
             return proj, state, new_carry

@@ -97,13 +97,17 @@ class PatchEncoder:
         n = patches_u8.shape[0]
         out = np.empty((n, self.feature_dim), dtype=np.float32)
         bs = self.batch_size
+        # dispatch all chunks before reading any result back: device compute
+        # overlaps the host->device copies of later chunks
+        pending = []
         for start in range(0, n, bs):
             chunk = patches_u8[start : start + bs]
             if chunk.shape[0] < bs:
                 pad = np.zeros((bs - chunk.shape[0],) + chunk.shape[1:], chunk.dtype)
                 chunk = np.concatenate([chunk, pad])
-            feats = np.asarray(self._encode(self.params, chunk))
-            out[start : start + bs] = feats[: min(bs, n - start)]
+            pending.append((start, self._encode(self.params, chunk)))
+        for start, feats in pending:
+            out[start : start + bs] = np.asarray(feats)[: min(bs, n - start)]
         return out
 
 

@@ -30,7 +30,7 @@ def measure_ours() -> float:
 
     from murcl_tpu.preprocess.extract import PatchEncoder
 
-    enc = PatchEncoder("resnet18", batch_size=BATCH, patch_size=PATCH)
+    enc = PatchEncoder("resnet18", batch_size=BATCH, patch_size=PATCH, dtype="bfloat16")
     rng = np.random.default_rng(0)
     patches = rng.integers(0, 255, (N_PATCHES, PATCH, PATCH, 3), dtype=np.uint8)
 
