@@ -51,6 +51,7 @@ def generate_synthetic_dataset(
     max_patches: int = 200,
     seed: int = 985,
     splits: Optional[dict] = None,
+    signal: float = 2.0,
 ) -> dict:
     """Write a full synthetic dataset under ``root`` in the reference layout.
 
@@ -71,7 +72,7 @@ def generate_synthetic_dataset(
         case_id = f"synt_{i:03d}"
         label = i % 2
         num_patches = int(rng.integers(min_patches, max_patches + 1))
-        feats, assignment = make_synthetic_slide(rng, num_patches, dim, num_clusters, label)
+        feats, assignment = make_synthetic_slide(rng, num_patches, dim, num_clusters, label, signal=signal)
 
         side = int(np.ceil(np.sqrt(num_patches)))
         coords = np.stack([np.arange(num_patches) // side, np.arange(num_patches) % side], axis=1)

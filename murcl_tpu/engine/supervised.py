@@ -161,12 +161,19 @@ class SupervisedEngine:
                 feat_size=cfg.feat_size, max_patches=cfg.max_patches,
             )
 
-        # remat: recompute each rollout step's sub-bag selection + aggregator
-        # activations in the backward pass instead of keeping T steps of
-        # (B, feat_size, D) tensors live (OOMs 16 GB HBM at batch 128)
-        @jax.checkpoint
+        # remat: recompute each rollout step's aggregator activations in the
+        # backward pass instead of keeping T steps of (B, feat_size, D)
+        # tensors live (OOMs 16 GB HBM at batch 128) — but save the selected
+        # sub-bag itself so the backward skips the T re-gathers
+        from functools import partial as _partial
+
+        from jax.ad_checkpoint import checkpoint_name
+
+        _policy = jax.checkpoint_policies.save_only_these_names("subbag")
+
+        @_partial(jax.checkpoint, policy=_policy)
         def forward(actions, fc_carry, rngd):
-            feats = select(actions)
+            feats = checkpoint_name(select(actions).astype(self._cdtype), "subbag")
             fc_in, extra = self._arch_forward(mp, feats, labels, valid, train, rngd)
             logits, new_carry = self.fc.apply(fcp, fc_in, fc_carry)
             loss = self._ce_weight * cross_entropy(logits, labels, valid) + extra

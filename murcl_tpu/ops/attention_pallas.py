@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -53,17 +54,36 @@ def gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask=None,
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
-def _make_fwd_kernel(gated: bool):
+def _dropout_masks(seed, rate: float, shape, gated: bool):
+    """Deterministic per-bag keep masks (regenerated identically in bwd)."""
+    pltpu.prng_seed(seed + pl.program_id(0))
+    thresh = np.uint32(min(2**32 - 1, int(rate * 2**32)))
+    keep_a = pltpu.prng_random_bits(shape) >= thresh
+    keep_b = (pltpu.prng_random_bits(shape) >= thresh) if gated else None
+    scale = 1.0 / (1.0 - rate)
+    return keep_a, keep_b, scale
+
+
+def _make_fwd_kernel(gated: bool, dropout: float):
     def kernel(x_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
-               mask_ref, m_ref, p_ref, s_ref):
+               mask_ref, seed_ref, m_ref, p_ref, s_ref):
         x = x_ref[0]  # (N, F)
         a = jnp.tanh(
             jnp.dot(x, wa_ref[:], preferred_element_type=jnp.float32) + ba_ref[0]
         )
         if gated:
-            a = a * jax.nn.sigmoid(
+            g = jax.nn.sigmoid(
                 jnp.dot(x, wb_ref[:], preferred_element_type=jnp.float32) + bb_ref[0]
             )
+        if dropout > 0:
+            keep_a, keep_b, scale = _dropout_masks(
+                seed_ref[0, 0], dropout, a.shape, gated
+            )
+            a = jnp.where(keep_a, a * scale, 0.0)
+            if gated:
+                g = jnp.where(keep_b, g * scale, 0.0)
+        if gated:
+            a = a * g
         s = jnp.dot(a, wc_ref[:], preferred_element_type=jnp.float32)[:, 0] + bc_ref[0, 0]
         s_ref[0, 0] = s
         sm = jnp.where(mask_ref[0, 0], s, _NEG_INF)
@@ -76,11 +96,12 @@ def _make_fwd_kernel(gated: bool):
     return kernel
 
 
-def _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated: bool):
+def _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, seed, gated: bool,
+                dropout: float):
     b, n, f = x.shape
     d = wa.shape[1]
     m, p, s = pl.pallas_call(
-        _make_fwd_kernel(gated),
+        _make_fwd_kernel(gated, dropout),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -91,6 +112,7 @@ def _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated: bool):
             pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -103,16 +125,16 @@ def _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated: bool):
             jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
         ],
     )(x, wa, ba.reshape(1, -1), wb, bb.reshape(1, -1), wc.reshape(-1, 1),
-      bc.reshape(1, 1), mask.reshape(b, 1, n))
+      bc.reshape(1, 1), mask.reshape(b, 1, n), seed.reshape(1, 1))
     return m[:, 0], p[:, 0], s[:, 0]
 
 
 # ---------------------------------------------------------------------------
 # Backward kernel
 # ---------------------------------------------------------------------------
-def _make_bwd_kernel(gated: bool):
+def _make_bwd_kernel(gated: bool, dropout: float):
     def kernel(x_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref,
-               mask_ref, p_ref, gm_ref, gp_ref, gs_ref,
+               mask_ref, seed_ref, p_ref, gm_ref, gp_ref, gs_ref,
                dx_ref, dwa_ref, dba_ref, dwb_ref, dbb_ref, dwc_ref, dbc_ref):
         i = pl.program_id(0)
 
@@ -130,7 +152,8 @@ def _make_bwd_kernel(gated: bool):
         gm = gm_ref[0, 0]  # (F,)
         mask = mask_ref[0, 0]
 
-        # recompute gates (VMEM-resident, one fused pass)
+        # recompute gates (VMEM-resident, one fused pass); the same seed
+        # regenerates the exact dropout masks of the forward pass
         a = jnp.tanh(
             jnp.dot(x, wa_ref[:], preferred_element_type=jnp.float32) + ba_ref[0]
         )
@@ -138,9 +161,18 @@ def _make_bwd_kernel(gated: bool):
             g = jax.nn.sigmoid(
                 jnp.dot(x, wb_ref[:], preferred_element_type=jnp.float32) + bb_ref[0]
             )
-            u = a * g
+        if dropout > 0:
+            keep_a, keep_b, scale = _dropout_masks(
+                seed_ref[0, 0], dropout, a.shape, gated
+            )
+            a_eff = jnp.where(keep_a, a * scale, 0.0)
+            g_eff = jnp.where(keep_b, g * scale, 0.0) if gated else None
         else:
-            u = a
+            keep_a = keep_b = None
+            scale = 1.0
+            a_eff = a
+            g_eff = g if gated else None
+        u = a_eff * g_eff if gated else a_eff
 
         # dL/dp: pooling backward + any direct cotangent on p
         dp = jnp.dot(x, gm.reshape(-1, 1), preferred_element_type=jnp.float32)[:, 0]
@@ -154,12 +186,23 @@ def _make_bwd_kernel(gated: bool):
                               preferred_element_type=jnp.float32)
         du = ds.reshape(-1, 1) * wc_ref[:].reshape(1, -1)  # (N, D)
         if gated:
-            dza = du * g * (1.0 - a * a)
-            dzb = du * a * g * (1.0 - g)
+            da_eff = du * g_eff
+            dg_eff = du * a_eff
+        else:
+            da_eff = du
+            dg_eff = None
+        if dropout > 0:
+            da = jnp.where(keep_a, da_eff * scale, 0.0)
+            dg = jnp.where(keep_b, dg_eff * scale, 0.0) if gated else None
+        else:
+            da = da_eff
+            dg = dg_eff
+        dza = da * (1.0 - a * a)
+        if gated:
+            dzb = dg * g * (1.0 - g)
             dwb_ref[:] += jnp.dot(x.T, dzb, preferred_element_type=jnp.float32)
             dbb_ref[0] += jnp.sum(dzb, axis=0)
         else:
-            dza = du * (1.0 - a * a)
             dzb = None
 
         dwa_ref[:] += jnp.dot(x.T, dza, preferred_element_type=jnp.float32)
@@ -176,11 +219,12 @@ def _make_bwd_kernel(gated: bool):
     return kernel
 
 
-def _bwd_pallas(x, wa, ba, wb, bb, wc, mask, p, gm, gp, gs, gated: bool):
+def _bwd_pallas(x, wa, ba, wb, bb, wc, mask, seed, p, gm, gp, gs,
+                gated: bool, dropout: float):
     b, n, f = x.shape
     d = wa.shape[1]
     outs = pl.pallas_call(
-        _make_bwd_kernel(gated),
+        _make_bwd_kernel(gated, dropout),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -190,6 +234,7 @@ def _bwd_pallas(x, wa, ba, wb, bb, wc, mask, p, gm, gp, gs, gated: bool):
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -214,8 +259,8 @@ def _bwd_pallas(x, wa, ba, wb, bb, wc, mask, p, gm, gp, gs, gated: bool):
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
     )(x, wa, ba.reshape(1, -1), wb, bb.reshape(1, -1), wc.reshape(-1, 1),
-      mask.reshape(b, 1, n), p.reshape(b, 1, n), gm.reshape(b, 1, f),
-      gp.reshape(b, 1, n), gs.reshape(b, 1, n))
+      mask.reshape(b, 1, n), seed.reshape(1, 1), p.reshape(b, 1, n),
+      gm.reshape(b, 1, f), gp.reshape(b, 1, n), gs.reshape(b, 1, n))
     dx, dwa, dba, dwb, dbb, dwc, dbc = outs
     return dx, dwa, dba[0], dwb, dbb[0], dwc[:, 0], dbc[0, 0]
 
@@ -223,46 +268,58 @@ def _bwd_pallas(x, wa, ba, wb, bb, wc, mask, p, gm, gp, gs, gated: bool):
 # ---------------------------------------------------------------------------
 # custom_vjp wrappers (one per gating mode; `gated` must be static)
 # ---------------------------------------------------------------------------
-def _make_op(gated: bool):
+def _make_op(gated: bool, dropout: float):
     @jax.custom_vjp
-    def op(x, wa, ba, wb, bb, wc, bc, mask):
-        return _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated)
+    def op(x, wa, ba, wb, bb, wc, bc, mask, seed):
+        return _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, seed, gated, dropout)
 
-    def fwd(x, wa, ba, wb, bb, wc, bc, mask):
-        m, p, s = _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated)
-        return (m, p, s), (x, wa, ba, wb, bb, wc, mask, p)
+    def fwd(x, wa, ba, wb, bb, wc, bc, mask, seed):
+        m, p, s = _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, seed, gated, dropout)
+        return (m, p, s), (x, wa, ba, wb, bb, wc, mask, seed, p)
 
     def bwd(res, cot):
-        x, wa, ba, wb, bb, wc, mask, p = res
+        x, wa, ba, wb, bb, wc, mask, seed, p = res
         gm, gp, gs = cot
         dx, dwa, dba, dwb, dbb, dwc, dbc = _bwd_pallas(
-            x, wa, ba, wb, bb, wc, mask, p, gm, gp, gs, gated
+            x, wa, ba, wb, bb, wc, mask, seed, p, gm, gp, gs, gated, dropout
         )
-        return dx, dwa, dba, dwb, dbb, dwc, dbc, None
+        return dx, dwa, dba, dwb, dbb, dwc, dbc, None, None
 
     op.defvjp(fwd, bwd)
     return op
 
 
-_GATED_OP = _make_op(True)
-_UNGATED_OP = _make_op(False)
+_OPS: dict = {}
+
+
+def _get_op(gated: bool, dropout: float):
+    key = (gated, float(dropout))
+    if key not in _OPS:
+        _OPS[key] = _make_op(gated, float(dropout))
+    return _OPS[key]
 
 
 def gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=None,
-                         impl: str = "auto", gated: bool = True):
+                         impl: str = "auto", gated: bool = True,
+                         dropout: float = 0.0, seed=None):
     """Fused attention pooling; picks Pallas on TPU, XLA elsewhere.
 
-    Returns ``(M (B,F), p (B,N), s (B,N))``.
+    ``dropout > 0`` applies inverted dropout to the gate activations inside
+    the kernel using the on-chip PRNG seeded by ``seed`` (+bag index); the
+    backward regenerates the same masks. Returns ``(M (B,F), p, s)``.
     """
     if mask is None:
         mask = jnp.ones(x.shape[:2], dtype=bool)
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        op = _GATED_OP if gated else _UNGATED_OP
+        op = _get_op(gated, dropout)
+        if seed is None:
+            seed = jnp.zeros((), jnp.int32)
         return op(
             x.astype(jnp.float32), wa, ba, wb, bb, wc,
             jnp.asarray(bc, jnp.float32).reshape(()), mask,
+            jnp.asarray(seed, jnp.int32),
         )
     return gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask=mask,
                                     gated=gated)

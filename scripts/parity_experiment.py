@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""End-to-end AUC parity: our trainer vs the ACTUAL reference trainer.
+
+Generates one synthetic dataset through the shared data contract, then
+trains ABMIL-from-scratch (stage 1) with BOTH implementations — the
+reference's ``train_RLMIL.run`` imported read-only from /root/reference
+(its hardcoded ``.cuda()`` / ``DataParallel`` patched to CPU no-ops) and
+our ``murcl_tpu.drivers.rlmil.run`` — and compares the final test metrics.
+
+Training trajectories cannot be bit-identical across frameworks (RNG
+streams); parity is judged on both implementations solving the same task
+to similar quality. Run: ``python scripts/parity_experiment.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SLIDES, DIM, K, FEAT, T, EPOCHS = 40, 32, 5, 32, 2, 40
+LR = 1e-3
+
+
+def make_dataset(root):
+    from murcl_tpu.data.synthetic import generate_synthetic_dataset
+
+    return generate_synthetic_dataset(
+        root, num_slides=SLIDES, dim=DIM, num_clusters=K, seed=985,
+        min_patches=60, max_patches=160, signal=8.0,
+    )
+
+
+def run_ours(ds, root) -> pd.DataFrame:
+    from murcl_tpu.drivers import rlmil
+
+    args = rlmil.default_args(
+        dataset="parity", data_csv=ds["data_csv"],
+        data_split_json=ds["data_split_json"], feat_size=FEAT, T=T,
+        train_method="scratch", train_stage=1, epochs=EPOCHS, batch_size=2,
+        backbone_lr=LR, fc_lr=LR,
+        arch="ABMIL", L=32, D=8, fc_hidden_dim=32,
+        base_save_dir=str(Path(root) / "ours"), exist_ok=True, device="cpu",
+    )
+    out = rlmil.run(args)
+    return pd.read_csv(Path(out["save_dir"]) / "final_res.csv", index_col=0)
+
+
+def run_reference(ds, root) -> pd.DataFrame:
+    import torch
+
+    # neutralize the reference's hardcoded CUDA usage on this CPU-only build
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    class _DP(torch.nn.Module):  # DataParallel stand-in: same .module surface
+        def __init__(self, module, **kw):
+            super().__init__()
+            self.module = module
+
+        def forward(self, *a, **kw):
+            return self.module(*a, **kw)
+
+    torch.nn.DataParallel = _DP
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        import train_RLMIL as ref
+
+        # the reference defines these registries under __main__ only
+        # (train_RLMIL.py:1169-1178)
+        ref.TRAIN = {"ABMIL": ref.train_ABMIL, "DSMIL": ref.train_DSMIL,
+                     "CLAM_SB": ref.train_CLAM}
+        ref.TEST = {"ABMIL": ref.test_ABMIL, "DSMIL": ref.test_DSMIL,
+                    "CLAM_SB": ref.test_CLAM}
+
+        args = SimpleNamespace(
+            dataset="parity", data_csv=ds["data_csv"],
+            data_split_json=ds["data_split_json"], train_data="train",
+            preload=True, feat_size=FEAT,
+            train_method="scratch", train_stage=1, T=T,
+            checkpoint_stage=None, checkpoint_pretrained=None,
+            optimizer="Adam", scheduler=None, batch_size=2, epochs=EPOCHS,
+            ppo_epochs=1, backbone_lr=LR, fc_lr=LR, momentum=0.9,
+            nesterov=True, beta1=0.9, beta2=0.999, warmup=0, wdecay=1e-5,
+            picked_method="score", patience=None,
+            arch="ABMIL", num_classes=2, model_dim=32,
+            policy_hidden_dim=32, policy_conv=False, action_std=0.5,
+            ppo_lr=1e-5, ppo_gamma=0.1, K_epochs=3,
+            feature_num=32, fc_hidden_dim=32, fc_rnn=True, load_fc=False,
+            L=32, D=8, dropout=0.0, train_model_prime=True,
+            size_arg="small", k_sample=8, bag_weight=0.7,
+            loss="CrossEntropyLoss", use_tensorboard=False,
+            base_save_dir=str(Path(root) / "reference"), save_dir=None,
+            save_dir_flag=None, exist_ok=True, save_model=False,
+            device="cpu", seed=985,
+        )
+        ref.run(args)
+        save_dir = Path(args.save_dir)
+        return pd.read_csv(save_dir / "final_res.csv", index_col=0)
+    finally:
+        sys.path.remove("/root/reference")
+
+
+def main():
+    root = tempfile.mkdtemp(prefix="parity_")
+    ds = make_dataset(root)
+    ours = run_ours(ds, root)
+    theirs = run_reference(ds, root)
+    report = {
+        "dataset": f"{SLIDES} synthetic slides, dim={DIM}, K={K}, feat_size={FEAT}, T={T}, {EPOCHS} epochs",
+        "ours": {c: float(ours.iloc[0][c]) for c in ours.columns},
+        "reference": {c: float(theirs.iloc[0][c]) for c in theirs.columns},
+        "auc_gap": abs(float(ours.iloc[0]["auc"]) - float(theirs.iloc[0]["auc"])),
+    }
+    print(json.dumps(report, indent=2))
+    return report
+
+
+if __name__ == "__main__":
+    main()

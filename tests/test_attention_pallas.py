@@ -74,3 +74,42 @@ def test_full_mask_equals_no_mask(inputs):
     got = gap.gated_attention_pool(x, wa, ba, wb, bb, wc, bc, impl="pallas")
     want = gap.gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), atol=1e-6)
+
+
+# --------------------------------------------------------- in-kernel dropout --
+# pltpu.prng_seed has no CPU interpret rule; these run on real TPU only
+# (exercised by scripts/tpu_smoke.py and the TPU bench path)
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU PRNG")
+def test_dropout_deterministic_per_seed(inputs):
+    x, wa, ba, wb, bb, wc, bc, mask = inputs
+    kw = dict(mask=mask, impl="pallas", gated=True, dropout=0.25)
+    m1, p1, s1 = gap.gated_attention_pool(x, wa, ba, wb, bb, wc, bc, seed=7, **kw)
+    m2, p2, s2 = gap.gated_attention_pool(x, wa, ba, wb, bb, wc, bc, seed=7, **kw)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    m3, _, _ = gap.gated_attention_pool(x, wa, ba, wb, bb, wc, bc, seed=8, **kw)
+    assert not np.allclose(np.asarray(m1), np.asarray(m3))
+    # dropout actually fires: differs from the no-dropout output
+    m0, _, _ = gap.gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=mask,
+                                        impl="pallas", gated=True, dropout=0.0)
+    assert not np.allclose(np.asarray(m1), np.asarray(m0))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU PRNG")
+def test_dropout_grad_finite_difference(inputs):
+    """bwd regenerates the same masks: check d loss/d wc by finite differences."""
+    x, wa, ba, wb, bb, wc, bc, mask = inputs
+
+    def loss(wc_):
+        m, p, s = gap.gated_attention_pool(
+            x, wa, ba, wb, bb, wc_, bc, mask=mask, impl="pallas",
+            gated=True, dropout=0.25, seed=3,
+        )
+        return jnp.sum(m * m)
+
+    g = np.asarray(jax.grad(loss)(wc))
+    eps = 1e-3
+    for i in range(wc.shape[0]):
+        e = np.zeros_like(np.asarray(wc))
+        e[i] = eps
+        fd = (float(loss(wc + e)) - float(loss(wc - e))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=2e-2, atol=1e-4)
