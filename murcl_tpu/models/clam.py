@@ -97,28 +97,41 @@ class AttentionPool(nn.Module):
         bc = self.param("bc", b2, (1,))
 
         use_dropout = train and self.dropout > 0
-        if use_dropout or self.is_initializing():
-            # dropout path: explicit gates with per-gate dropout masks
-            # (clam.py:46-48); also used at init so tracing stays trivial
-            a = jnp.tanh(jnp.einsum("bnf,fd->bnd", x, wa) + ba)
-            if self.gated:
-                b = jax.nn.sigmoid(jnp.einsum("bnf,fd->bnd", x, wb) + bb)
+        impl = self.impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+        if impl == "pallas" and not self.is_initializing():
+            # fused kernel path, incl. training: dropout masks are generated
+            # by the on-chip PRNG inside the kernel (same per-gate inverted
+            # dropout as clam.py:46-48, regenerated exactly in the backward)
+            seed = None
+            rate = 0.0
             if use_dropout:
-                a = nn.Dropout(self.dropout, deterministic=False)(a)
-                if self.gated:
-                    b = nn.Dropout(self.dropout, deterministic=False)(b)
-            elif self.dropout > 0:
-                nn.Dropout(self.dropout, deterministic=True)(a)  # materialize rng collection
-            u = a * b if self.gated else a
-            s = jnp.einsum("bnd,do->bno", u, wc)[..., 0] + bc[0]
-            masked = s if mask is None else jnp.where(mask, s, -1e30)
-            p = nn.softmax(masked, axis=-1)
-            m = jnp.einsum("bn,bnf->bf", p, x)
-            return m, p, s
-        return gated_attention_pool(
-            x, wa, ba, wb, bb, wc[:, 0], bc[0], mask=mask,
-            impl=self.impl, gated=self.gated,
-        )
+                rate = self.dropout
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            return gated_attention_pool(
+                x, wa, ba, wb, bb, wc[:, 0], bc[0], mask=mask,
+                impl="pallas", gated=self.gated, dropout=rate, seed=seed,
+            )
+
+        # XLA path (CPU, init trace, or impl='xla'): explicit gates with
+        # per-gate dropout masks (clam.py:46-48)
+        a = jnp.tanh(jnp.einsum("bnf,fd->bnd", x, wa) + ba)
+        if self.gated:
+            b = jax.nn.sigmoid(jnp.einsum("bnf,fd->bnd", x, wb) + bb)
+        if use_dropout:
+            a = nn.Dropout(self.dropout, deterministic=False)(a)
+            if self.gated:
+                b = nn.Dropout(self.dropout, deterministic=False)(b)
+        u = a * b if self.gated else a
+        s = jnp.einsum("bnd,do->bno", u, wc)[..., 0] + bc[0]
+        masked = s if mask is None else jnp.where(mask, s, -1e30)
+        p = nn.softmax(masked, axis=-1)
+        m = jnp.einsum("bn,bnf->bf", p, x)
+        return m, p, s
 
 
 def _cross_entropy(logits, targets):

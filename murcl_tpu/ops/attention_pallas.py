@@ -55,11 +55,21 @@ def gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask=None,
 # Forward kernel
 # ---------------------------------------------------------------------------
 def _dropout_masks(seed, rate: float, shape, gated: bool):
-    """Deterministic per-bag keep masks (regenerated identically in bwd)."""
+    """Deterministic per-bag keep masks (regenerated identically in bwd).
+
+    Raw PRNG output is signed bits; bitcast to uint32 before thresholding
+    (the comparison otherwise promotes through int32 and inverts half the
+    distribution).
+    """
     pltpu.prng_seed(seed + pl.program_id(0))
-    thresh = np.uint32(min(2**32 - 1, int(rate * 2**32)))
-    keep_a = pltpu.prng_random_bits(shape) >= thresh
-    keep_b = (pltpu.prng_random_bits(shape) >= thresh) if gated else None
+    thresh = jnp.uint32(min(2**32 - 1, int(rate * 2**32)))
+
+    def keep():
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return bits >= thresh
+
+    keep_a = keep()
+    keep_b = keep() if gated else None
     scale = 1.0 / (1.0 - rate)
     return keep_a, keep_b, scale
 
@@ -67,13 +77,15 @@ def _dropout_masks(seed, rate: float, shape, gated: bool):
 def _make_fwd_kernel(gated: bool, dropout: float):
     def kernel(x_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
                mask_ref, seed_ref, m_ref, p_ref, s_ref):
-        x = x_ref[0]  # (N, F)
+        x = x_ref[0]  # (N, F), f32 or bf16 — dots accumulate in f32
         a = jnp.tanh(
-            jnp.dot(x, wa_ref[:], preferred_element_type=jnp.float32) + ba_ref[0]
+            jnp.dot(x, wa_ref[:].astype(x.dtype),
+                    preferred_element_type=jnp.float32) + ba_ref[0]
         )
         if gated:
             g = jax.nn.sigmoid(
-                jnp.dot(x, wb_ref[:], preferred_element_type=jnp.float32) + bb_ref[0]
+                jnp.dot(x, wb_ref[:].astype(x.dtype),
+                        preferred_element_type=jnp.float32) + bb_ref[0]
             )
         if dropout > 0:
             keep_a, keep_b, scale = _dropout_masks(
@@ -91,7 +103,8 @@ def _make_fwd_kernel(gated: bool, dropout: float):
         e = jnp.exp(sm)
         p = e / jnp.sum(e)
         p_ref[0, 0] = p
-        m_ref[0, 0] = jnp.dot(p.reshape(1, -1), x, preferred_element_type=jnp.float32)[0]
+        m_ref[0, 0] = jnp.dot(p.reshape(1, -1).astype(x.dtype), x,
+                              preferred_element_type=jnp.float32)[0]
 
     return kernel
 
@@ -155,11 +168,13 @@ def _make_bwd_kernel(gated: bool, dropout: float):
         # recompute gates (VMEM-resident, one fused pass); the same seed
         # regenerates the exact dropout masks of the forward pass
         a = jnp.tanh(
-            jnp.dot(x, wa_ref[:], preferred_element_type=jnp.float32) + ba_ref[0]
+            jnp.dot(x, wa_ref[:].astype(x.dtype),
+                    preferred_element_type=jnp.float32) + ba_ref[0]
         )
         if gated:
             g = jax.nn.sigmoid(
-                jnp.dot(x, wb_ref[:], preferred_element_type=jnp.float32) + bb_ref[0]
+                jnp.dot(x, wb_ref[:].astype(x.dtype),
+                        preferred_element_type=jnp.float32) + bb_ref[0]
             )
         if dropout > 0:
             keep_a, keep_b, scale = _dropout_masks(
@@ -175,7 +190,8 @@ def _make_bwd_kernel(gated: bool, dropout: float):
         u = a_eff * g_eff if gated else a_eff
 
         # dL/dp: pooling backward + any direct cotangent on p
-        dp = jnp.dot(x, gm.reshape(-1, 1), preferred_element_type=jnp.float32)[:, 0]
+        dp = jnp.dot(x, gm.reshape(-1, 1).astype(x.dtype),
+                     preferred_element_type=jnp.float32)[:, 0]
         dp = dp + gp_ref[0, 0]
         # softmax backward (masked positions got p=0) + raw-score cotangent
         ds = p * (dp - jnp.sum(p * dp))
@@ -200,12 +216,14 @@ def _make_bwd_kernel(gated: bool, dropout: float):
         dza = da * (1.0 - a * a)
         if gated:
             dzb = dg * g * (1.0 - g)
-            dwb_ref[:] += jnp.dot(x.T, dzb, preferred_element_type=jnp.float32)
+            dwb_ref[:] += jnp.dot(x.T, dzb.astype(x.dtype),
+                                  preferred_element_type=jnp.float32)
             dbb_ref[0] += jnp.sum(dzb, axis=0)
         else:
             dzb = None
 
-        dwa_ref[:] += jnp.dot(x.T, dza, preferred_element_type=jnp.float32)
+        dwa_ref[:] += jnp.dot(x.T, dza.astype(x.dtype),
+                              preferred_element_type=jnp.float32)
         dba_ref[0] += jnp.sum(dza, axis=0)
 
         dx = (
@@ -214,7 +232,7 @@ def _make_bwd_kernel(gated: bool, dropout: float):
         )
         if gated:
             dx = dx + jnp.dot(dzb, wb_ref[:].T, preferred_element_type=jnp.float32)
-        dx_ref[0] = dx
+        dx_ref[0] = dx.astype(dx_ref.dtype)
 
     return kernel
 
@@ -250,7 +268,7 @@ def _bwd_pallas(x, wa, ba, wb, bb, wc, mask, seed, p, gm, gp, gs,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, f), x.dtype),  # dx in the bag's dtype
             jax.ShapeDtypeStruct((f, d), jnp.float32),
             jax.ShapeDtypeStruct((1, d), jnp.float32),
             jax.ShapeDtypeStruct((f, d), jnp.float32),
@@ -317,7 +335,7 @@ def gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=None,
         if seed is None:
             seed = jnp.zeros((), jnp.int32)
         return op(
-            x.astype(jnp.float32), wa, ba, wb, bb, wc,
+            x, wa, ba, wb, bb, wc,
             jnp.asarray(bc, jnp.float32).reshape(()), mask,
             jnp.asarray(seed, jnp.int32),
         )
