@@ -104,8 +104,29 @@ class ResNetEncoder(nn.Module):
         return jnp.mean(x, axis=(1, 2))  # global average pool
 
 
+def adaptive_avg_pool2d(x, out_hw):
+    """torch ``AdaptiveAvgPool2d`` semantics on NHWC: per output cell,
+    average the window ``[floor(i*in/out), ceil((i+1)*in/out))``."""
+    oh, ow = out_hw
+    b, h, w, c = x.shape
+    rows = []
+    for i in range(oh):
+        h0, h1 = (i * h) // oh, -(-((i + 1) * h) // oh)
+        cols = []
+        for j in range(ow):
+            w0, w1 = (j * w) // ow, -(-((j + 1) * w) // ow)
+            cols.append(jnp.mean(x[:, h0:h1, w0:w1, :], axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)  # (B, oh, ow, C)
+
+
 class VGG16Encoder(nn.Module):
-    """VGG16 features + avgpool + classifier[:4] (4096-d), torch layout."""
+    """VGG16 features + adaptive avgpool(7,7) + classifier[:4] (4096-d).
+
+    The adaptive pool matches torchvision for any input size (the
+    reference feeds 256x256 patches -> 8x8 conv maps -> pooled to 7x7,
+    which the ported ``classifier.0`` weights require).
+    """
 
     cfg = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
            512, 512, 512, "M", 512, 512, 512, "M")
@@ -120,7 +141,7 @@ class VGG16Encoder(nn.Module):
                 x = nn.relu(nn.Conv(v, (3, 3), padding=((1, 1), (1, 1)),
                                     name=f"conv{conv_i}")(x))
                 conv_i += 1
-        # adaptive avgpool to 7x7 (input 224 -> already 7x7), then fc1, fc2
+        x = adaptive_avg_pool2d(x, (7, 7))
         b = x.shape[0]
         # torch flattens CHW; transpose to match the fc weight layout
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, -1)
