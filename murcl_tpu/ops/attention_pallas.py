@@ -39,11 +39,28 @@ _NEG_INF = -1e30
 # Plain-XLA reference (default on CPU; golden model for the kernel)
 # ---------------------------------------------------------------------------
 def gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask=None,
-                             gated: bool = True):
-    """Reference implementation. ``x``: (B, N, F); returns ``(M, p, s)``."""
+                             gated: bool = True, dropout: float = 0.0,
+                             seed=None):
+    """Reference implementation. ``x``: (B, N, F); returns ``(M, p, s)``.
+
+    ``dropout``/``seed`` mirror the kernel's in-kernel dropout (different
+    bit stream, same distribution) so the large-bag fallback keeps
+    training semantics.
+    """
     a = jnp.tanh(jnp.einsum("bnf,fd->bnd", x, wa) + ba)
     if gated:
-        a = a * jax.nn.sigmoid(jnp.einsum("bnf,fd->bnd", x, wb) + bb)
+        g = jax.nn.sigmoid(jnp.einsum("bnf,fd->bnd", x, wb) + bb)
+    if dropout > 0 and seed is not None:
+        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
+        ka_key, kb_key = jax.random.split(key)
+        scale = 1.0 / (1.0 - dropout)
+        a = jnp.where(jax.random.bernoulli(ka_key, 1.0 - dropout, a.shape),
+                      a * scale, 0.0)
+        if gated:
+            g = jnp.where(jax.random.bernoulli(kb_key, 1.0 - dropout, g.shape),
+                          g * scale, 0.0)
+    if gated:
+        a = a * g
     s = jnp.einsum("bnd,d->bn", a, wc) + bc
     masked = s if mask is None else jnp.where(mask, s, _NEG_INF)
     p = jax.nn.softmax(masked, axis=-1)
@@ -331,6 +348,15 @@ def gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=None,
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
+        # the kernel keeps the whole bag VMEM-resident; very long bags
+        # (full-slide heatmap attention, 10k+ patches) exceed the ~16 MB
+        # budget — fall back to XLA there (a tiled two-pass variant is the
+        # eventual fix). Budget: bag + dx + pipeline double-buffering.
+        _, n, f = x.shape
+        bag_bytes = n * f * x.dtype.itemsize
+        if bag_bytes > 6 * 1024 * 1024:
+            impl = "xla"
+    if impl == "pallas":
         op = _get_op(gated, dropout)
         if seed is None:
             seed = jnp.zeros((), jnp.int32)
@@ -340,4 +366,4 @@ def gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=None,
             jnp.asarray(seed, jnp.int32),
         )
     return gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask=mask,
-                                    gated=gated)
+                                    gated=gated, dropout=dropout, seed=seed)
