@@ -12,7 +12,7 @@ code.
 from __future__ import annotations
 
 import random
-from pathlib import Path
+
 from typing import Dict, Iterable, List, Optional, Tuple
 
 import numpy as np

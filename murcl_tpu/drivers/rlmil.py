@@ -14,7 +14,6 @@ single padded batches (``:417-424`` semantics).
 
 from __future__ import annotations
 
-import copy
 import time
 from pathlib import Path
 from types import SimpleNamespace

@@ -21,7 +21,7 @@ view 0 consumes the carry view 1 wrote. The scan below threads one shared
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

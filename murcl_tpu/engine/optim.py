@@ -18,7 +18,7 @@ freezing is an ``optax.set_to_zero`` group.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Set
+from typing import Callable, Optional
 
 import jax
 import optax

@@ -27,7 +27,7 @@ import queue
 import threading
 import time
 from pathlib import Path
-from typing import Iterable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -15,7 +15,7 @@ center-shift tolerance; k-means++ seeding is a ``lax.scan`` over K steps.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Tuple
 
 import numpy as np
