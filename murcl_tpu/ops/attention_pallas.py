@@ -348,13 +348,19 @@ def gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=None,
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        # the kernel keeps the whole bag VMEM-resident; very long bags
+        # the resident kernel keeps the whole bag in VMEM; very long bags
         # (full-slide heatmap attention, 10k+ patches) exceed the ~16 MB
-        # budget — fall back to XLA there (a tiled two-pass variant is the
-        # eventual fix). Budget: bag + dx + pipeline double-buffering.
+        # budget. When the bag tiles evenly, stream it through the tiled
+        # two-sweep kernel; otherwise fall back to XLA. (The tiled kernel
+        # has no in-kernel dropout; training bags always fit resident.)
         _, n, f = x.shape
         bag_bytes = n * f * x.dtype.itemsize
         if bag_bytes > 6 * 1024 * 1024:
+            tile = 2048
+            if dropout == 0.0 and n % tile == 0:
+                return attention_pool_tiled(
+                    x, wa, ba, wb, bb, wc, bc, mask=mask, gated=gated, tile=tile
+                )
             impl = "xla"
     if impl == "pallas":
         op = _get_op(gated, dropout)
@@ -367,3 +373,167 @@ def gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=None,
         )
     return gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask=mask,
                                     gated=gated, dropout=dropout, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# Tiled kernel for bags too large for VMEM (full-slide heatmap attention)
+# ---------------------------------------------------------------------------
+def _make_tiled_fwd_kernel(gated: bool, tile: int, n_tiles: int):
+    """Two-sweep streaming attention pool: the bag lives in HBM and tiles
+    stream through a double-buffered VMEM scratch.
+
+    Sweep 1 computes raw scores per tile (stored in the (1, N) score output
+    block, which is VMEM-resident) and the masked global max; sweep 2
+    re-streams the bag to accumulate ``sum(exp)`` and the weighted sum.
+    """
+
+    def kernel(x_hbm, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
+               mask_ref, m_ref, p_ref, s_ref, x_tile, sems, acc_ref):
+        bag = pl.program_id(0)
+
+        def dma(slot, t):
+            return pltpu.make_async_copy(
+                x_hbm.at[bag, pl.ds(t * tile, tile), :], x_tile.at[slot],
+                sems.at[slot],
+            )
+
+        def scores_of(xt):
+            a = jnp.tanh(
+                jnp.dot(xt, wa_ref[:].astype(xt.dtype),
+                        preferred_element_type=jnp.float32) + ba_ref[0]
+            )
+            if gated:
+                a = a * jax.nn.sigmoid(
+                    jnp.dot(xt, wb_ref[:].astype(xt.dtype),
+                            preferred_element_type=jnp.float32) + bb_ref[0]
+                )
+            return jnp.dot(a, wc_ref[:], preferred_element_type=jnp.float32)[:, 0] + bc_ref[0, 0]
+
+        # ---- sweep 1: scores + masked max --------------------------------
+        dma(0, 0).start()
+
+        def sweep1(t, _):
+            slot = t % 2
+
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                dma((t + 1) % 2, t + 1).start()
+
+            dma(slot, t).wait()
+            s_ref[0, 0, pl.ds(t * tile, tile)] = scores_of(x_tile[slot])
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, sweep1, 0)
+        s_all = s_ref[0, 0]
+        masked = jnp.where(mask_ref[0, 0], s_all, _NEG_INF)
+        s_max = jnp.max(masked)
+
+        # ---- sweep 2: exp-sum + weighted pool -----------------------------
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        dma(0, 0).start()
+
+        def sweep2(t, sum_e):
+            slot = t % 2
+
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                dma((t + 1) % 2, t + 1).start()
+
+            dma(slot, t).wait()
+            e_t = jnp.where(
+                mask_ref[0, 0, pl.ds(t * tile, tile)],
+                jnp.exp(s_ref[0, 0, pl.ds(t * tile, tile)] - s_max), 0.0,
+            )
+            acc_ref[:] += jnp.dot(
+                e_t.reshape(1, -1).astype(x_tile.dtype), x_tile[slot],
+                preferred_element_type=jnp.float32,
+            )
+            return sum_e + jnp.sum(e_t)
+
+        sum_e = jax.lax.fori_loop(0, n_tiles, sweep2, jnp.float32(0.0))
+        p = jnp.where(mask_ref[0, 0], jnp.exp(s_all - s_max), 0.0) / sum_e
+        p_ref[0, 0] = p
+        m_ref[0, 0] = acc_ref[0] / sum_e
+
+    return kernel
+
+
+def _fwd_tiled_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated: bool,
+                      tile: int = 2048):
+    b, n, f = x.shape
+    d = wa.shape[1]
+    assert n % tile == 0, f"bag length {n} must be a multiple of tile {tile}"
+    n_tiles = n // tile
+    m, p, s = pl.pallas_call(
+        _make_tiled_fwd_kernel(gated, tile, n_tiles),
+        grid=(b,),
+        in_specs=[
+            # ANY-space inputs must be unblocked; the kernel indexes the
+            # bag with program_id and DMAs tiles manually
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, tile, f), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, f), jnp.float32),
+        ],
+    )(x, wa, ba.reshape(1, -1), wb, bb.reshape(1, -1), wc.reshape(-1, 1),
+      bc.reshape(1, 1), mask.reshape(b, 1, n))
+    return m[:, 0], p[:, 0], s[:, 0]
+
+
+def _make_tiled_op(gated: bool, tile: int):
+    """Tiled forward with an XLA backward (the fwd is the hot path —
+    heatmaps/eval; training bags fit the resident kernel)."""
+
+    @jax.custom_vjp
+    def op(x, wa, ba, wb, bb, wc, bc, mask):
+        return _fwd_tiled_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated, tile)
+
+    def fwd(x, wa, ba, wb, bb, wc, bc, mask):
+        out = _fwd_tiled_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated, tile)
+        return out, (x, wa, ba, wb, bb, wc, bc, mask)
+
+    def bwd(res, cot):
+        x, wa, ba, wb, bb, wc, bc, mask = res
+        _, vjp = jax.vjp(
+            lambda *a: gated_attention_pool_xla(*a, mask=mask, gated=gated),
+            x, wa, ba, wb, bb, wc, bc,
+        )
+        return vjp(cot) + (None,)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+_TILED_OPS: dict = {}
+
+
+def attention_pool_tiled(x, wa, ba, wb, bb, wc, bc, mask=None,
+                         gated: bool = True, tile: int = 2048):
+    """Streaming attention pool for bags too large for VMEM residency."""
+    if mask is None:
+        mask = jnp.ones(x.shape[:2], dtype=bool)
+    key = (gated, tile)
+    if key not in _TILED_OPS:
+        _TILED_OPS[key] = _make_tiled_op(gated, tile)
+    return _TILED_OPS[key](
+        x, wa, ba, wb, bb, wc, jnp.asarray(bc, jnp.float32).reshape(()), mask
+    )

@@ -131,6 +131,31 @@ def main():
     rel = np.abs(g_xla - g_pal).max() / max(np.abs(g_xla).max(), 1e-6)
     assert rel < 1e-2, f"dropout grad mismatch: rel {rel}"
     print("dropout kernel (fwd determinism + exact-mask grad match): OK")
+
+    # ---- tiled streaming kernel at full-slide scale ------------------------
+    import time
+
+    from murcl_tpu.ops.attention_pallas import attention_pool_tiled
+
+    n_big = 10240
+    xb = jnp.asarray(rng.normal(size=(1, n_big, F)).astype(np.float32))
+    maskb = jnp.asarray(np.arange(n_big)[None, :] < 9970)
+    got = attention_pool_tiled(xb, wa, ba, wb, bb, wc, bc, mask=maskb)
+    want = gated_attention_pool_xla(xb, wa, ba, wb, bb, wc, bc, mask=maskb)
+    err = float(jnp.abs(got[0] - want[0]).max())
+    assert err < 5e-3, err
+    t0 = time.perf_counter()
+    for _ in range(5):
+        got = attention_pool_tiled(xb, wa, ba, wb, bb, wc, bc, mask=maskb)
+    float(got[0][0, 0])
+    dt_tiled = (time.perf_counter() - t0) / 5
+    t0 = time.perf_counter()
+    for _ in range(5):
+        want = gated_attention_pool_xla(xb, wa, ba, wb, bb, wc, bc, mask=maskb)
+    float(want[0][0, 0])
+    dt_xla = (time.perf_counter() - t0) / 5
+    print(f"tiled kernel at N={n_big}: OK (maxdiff {err:.4f}; "
+          f"{dt_tiled*1000:.1f} ms vs XLA {dt_xla*1000:.1f} ms)")
     print("TPU SMOKE: ALL OK")
 
 

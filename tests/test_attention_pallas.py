@@ -111,3 +111,33 @@ def test_dropout_grads_finite(inputs):
 
     g = np.asarray(jax.grad(loss)(wc))
     assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
+# ------------------------------------------------------------- tiled kernel --
+def test_tiled_forward_matches_xla(rng):
+    """Streaming two-sweep kernel == XLA reference on a multi-tile bag."""
+    B2, N2, F2, D2 = 2, 32, 8, 4
+    x = jnp.asarray(rng.normal(size=(B2, N2, F2)).astype(np.float32))
+    wa = jnp.asarray(rng.normal(size=(F2, D2)).astype(np.float32) * 0.3)
+    ba = jnp.asarray(rng.normal(size=(D2,)).astype(np.float32) * 0.1)
+    wb = jnp.asarray(rng.normal(size=(F2, D2)).astype(np.float32) * 0.3)
+    bb = jnp.asarray(rng.normal(size=(D2,)).astype(np.float32) * 0.1)
+    wc = jnp.asarray(rng.normal(size=(D2,)).astype(np.float32) * 0.3)
+    bc = jnp.float32(0.02)
+    mask = jnp.asarray(np.arange(N2)[None, :] < np.array([32, 20])[:, None])
+
+    got = gap.attention_pool_tiled(x, wa, ba, wb, bb, wc, bc, mask=mask,
+                                   gated=True, tile=8)
+    want = gap.gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask=mask)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
+
+    # XLA-backed backward works through the custom_vjp
+    grad = jax.grad(lambda x_: jnp.sum(gap.attention_pool_tiled(
+        x_, wa, ba, wb, bb, wc, bc, mask=mask, gated=True, tile=8)[0] ** 2))(x)
+    np.testing.assert_allclose(
+        np.asarray(grad),
+        np.asarray(jax.grad(lambda x_: jnp.sum(gap.gated_attention_pool_xla(
+            x_, wa, ba, wb, bb, wc, bc, mask=mask)[0] ** 2))(x)),
+        atol=2e-5,
+    )
