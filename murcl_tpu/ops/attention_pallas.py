@@ -356,11 +356,11 @@ def gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=None,
         _, n, f = x.shape
         bag_bytes = n * f * x.dtype.itemsize
         if bag_bytes > 6 * 1024 * 1024:
-            tile = 2048
-            if dropout == 0.0 and n % tile == 0:
-                return attention_pool_tiled(
-                    x, wa, ba, wb, bb, wc, bc, mask=mask, gated=gated, tile=tile
-                )
+            # measured on v5e at N=10240: XLA takes ~25 ms (dispatch-bound)
+            # while the tiled streaming kernel takes ~2.1 s (its sequential
+            # per-tile DMA loop + dynamic lane-slice stores lower poorly) —
+            # XLA wins decisively for oversized bags, so it is the fallback;
+            # attention_pool_tiled stays available for future tuning.
             impl = "xla"
     if impl == "pallas":
         op = _get_op(gated, dropout)
@@ -528,7 +528,14 @@ _TILED_OPS: dict = {}
 
 def attention_pool_tiled(x, wa, ba, wb, bb, wc, bc, mask=None,
                          gated: bool = True, tile: int = 2048):
-    """Streaming attention pool for bags too large for VMEM residency."""
+    """Streaming attention pool for bags too large for VMEM residency.
+
+    Numerically verified on hardware (maxdiff 2e-4 vs XLA at N=10240) but
+    currently ~87x SLOWER than XLA there: the sequential two-sweep DMA loop
+    and dynamic lane-dimension stores lower poorly, while XLA's version is
+    already dispatch-latency-bound (~25 ms). Kept as a correct reference
+    for future tuning; the production path uses XLA for oversized bags.
+    """
     if mask is None:
         mask = jnp.ones(x.shape[:2], dtype=bool)
     key = (gated, tile)
