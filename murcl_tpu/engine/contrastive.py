@@ -94,13 +94,6 @@ class ContrastiveEngine:
         b = slide_ids.shape[0]
         mp, fcp = params["model"], params["fc"]
 
-        def select(actions):
-            return select_feats(
-                bank.feats, slide_ids, bank.offsets, bank.num_patches,
-                bank.cluster_tables, bank.cluster_sizes, actions,
-                feat_size=cfg.feat_size, max_patches=cfg.max_patches,
-            )
-
         # remat: one rollout step's activations (the (B, feat_size, D)
         # sub-bag and the aggregator's gate tensors) are ~0.5 GB at the
         # canonical shape; storing them for all T steps x 2 views OOMs a
@@ -112,25 +105,47 @@ class ContrastiveEngine:
 
         policy = jax.checkpoint_policies.save_only_these_names("subbag")
 
-        @partial(jax.checkpoint, policy=policy)
-        def view_forward(actions, fc_carry, rng_t):
-            """select -> mixup -> encode -> project; returns (proj, state, carry)."""
-            r_mix, r_drop = jax.random.split(rng_t)
-            x = select(actions)
-            x, _, _ = mixup(r_mix, x, cfg.alpha)
-            x = checkpoint_name(x.astype(self._cdtype), "subbag")
-            emb, state = self._encode(mp, x, train, r_drop)
-            proj, new_carry = self.fc.apply(fcp, emb, fc_carry)
-            return proj, state, new_carry
+        both_ids = jnp.concatenate([slide_ids, slide_ids])
+
+        @partial(jax.checkpoint, policy=policy, static_argnums=(4,))
+        def pair_forward(actions_a, actions_b, fc_carry, rng_t, restart: bool):
+            """Both views through ONE aggregator forward of (2B, F, D).
+
+            Selection and encoding batch across the views (bigger matmuls,
+            half the call overhead); mixup permutes within each view
+            separately (reference semantics); the GRU head stays sequential
+            (view a then b) because its carry threads across views.
+            """
+            r_mix_a, r_mix_b, r_drop = jax.random.split(rng_t, 3)
+            x2 = select_feats(
+                bank.feats, both_ids, bank.offsets, bank.num_patches,
+                bank.cluster_tables, bank.cluster_sizes,
+                jnp.concatenate([actions_a, actions_b]),
+                feat_size=cfg.feat_size, max_patches=cfg.max_patches,
+            )
+            xa, _, _ = mixup(r_mix_a, x2[:b], cfg.alpha)
+            xb, _, _ = mixup(r_mix_b, x2[b:], cfg.alpha)
+            x2 = checkpoint_name(
+                jnp.concatenate([xa, xb]).astype(self._cdtype), "subbag"
+            )
+            emb2, state2 = self._encode(mp, x2, train, r_drop)
+            if restart:
+                # reference: fc(o, restart=True) per view — each restarts
+                # from zeros; view 0's carry is overwritten by view 1's
+                proj_a, _ = self.fc.apply(fcp, emb2[:b], None)
+                proj_b, new_carry = self.fc.apply(fcp, emb2[b:], None)
+            else:
+                proj_a, c_mid = self.fc.apply(fcp, emb2[:b], fc_carry)
+                proj_b, new_carry = self.fc.apply(fcp, emb2[b:], c_mid)
+            return proj_a, proj_b, state2[:b], state2[b:], new_carry
 
         # ---- t = 0: two uniform random views, fresh hidden per view -------
-        rng, ra0, ra1, rv0, rv1 = jax.random.split(rng, 5)
+        rng, ra0, ra1, rv0 = jax.random.split(rng, 4)
         act0 = jax.random.uniform(ra0, (b, cfg.num_clusters))
         act1 = jax.random.uniform(ra1, (b, cfg.num_clusters))
-        # reference: fc(o, restart=True) per view — view 0's hidden is
-        # overwritten by view 1's; the surviving carry is view 1's
-        proj0, state0, _carry_v0 = view_forward(act0, None, rv0)
-        proj1, state1, fc_carry = view_forward(act1, None, rv1)
+        proj0, proj1, state0, state1, fc_carry = pair_forward(
+            act0, act1, None, rv0, True
+        )
         loss0 = nt_xent(proj0, proj1, cfg.temperature)
         sim0 = cosine_similarity(
             jax.lax.stop_gradient(proj0), jax.lax.stop_gradient(proj1)
@@ -157,8 +172,9 @@ class ContrastiveEngine:
                 pstep_b = PolicyStep(state=st_b, action=action_b, logprob=zero_lp)
 
             # shared fc carry threads view0 -> view1 (reference quirk)
-            proj_a, st_a, fc_c = view_forward(action_a, fc_c, r_va)
-            proj_b, st_b, fc_c = view_forward(action_b, fc_c, r_vb)
+            proj_a, proj_b, st_a, st_b, fc_c = pair_forward(
+                action_a, action_b, fc_c, r_va, False
+            )
 
             loss_t = nt_xent(proj_a, proj_b, cfg.temperature)
             sim = cosine_similarity(
