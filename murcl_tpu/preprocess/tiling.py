@@ -153,11 +153,14 @@ def run_tiling(args) -> None:
 
     slide_dir = Path(args.slide_dir)
     paths = sorted(slide_dir.rglob(f"*{args.wsi_format}"))
-    if getattr(args, "specify_filename", False):
-        paths = [p for p in paths if args.filename_l <= p.stem <= args.filename_r]
     print(f"tiling {len(paths)} slides from {slide_dir}")
     for p in paths:
-        filename = p.stem
+        # --specify_filename slices the stem as the save index
+        # (create_patches.py:161-162), e.g. keep chars [l:r) of the name
+        if getattr(args, "specify_filename", False):
+            filename = p.stem[int(args.filename_l):int(args.filename_r)]
+        else:
+            filename = p.stem
         if (coord_dir / f"{filename}.json").exists() and not args.exist_ok:
             print(f"{filename} skipped: coord exists")
             continue

@@ -28,9 +28,10 @@ def main():
     parser.add_argument('--save_mask', action='store_true', default=False)
     parser.add_argument('--save_patch', action='store_true', default=False)
     parser.add_argument('--wsi_format', type=str, default='.svs', choices=['.svs', '.tif'])
-    parser.add_argument('--specify_filename', action='store_true', default=False)
-    parser.add_argument('--filename_l', type=str, default='0')
-    parser.add_argument('--filename_r', type=str, default='12')
+    parser.add_argument('--specify_filename', action='store_true', default=False,
+                        help="use stem[filename_l:filename_r] as the save index")
+    parser.add_argument('--filename_l', type=int, default=0)
+    parser.add_argument('--filename_r', type=int, default=12)
     parser.add_argument('--method', type=str, default='rgb', choices=['otsu', 'adaptive', 'rgb'])
     parser.add_argument('--overview_level', type=int, default=-1)
     args = parser.parse_args()
