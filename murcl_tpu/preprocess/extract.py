@@ -171,6 +171,10 @@ def extract_features(
     def producer():
         for cp in todo:
             coord = load_json(cp)
+            if coord["num_patches"] == 0:
+                # reference skips empty slides (extract_features.py:69-71)
+                print(f"{cp.stem}'s num_patches is 0, skip!")
+                continue
             slide = open_slide(coord["slide_filepath"])
             patches = _read_patches(
                 slide, coord["coords"], coord["patch_size_level0"],
