@@ -17,11 +17,16 @@ SURVEY §6). The baseline is measured once and cached in
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+# the remote compile helper needs the accelerator type hint for some
+# programs; harmless elsewhere
+os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
 
 REPO = Path(__file__).resolve().parent
 BATCH, FEAT_SIZE, DIM, K, T = 128, 1024, 512, 10, 6
@@ -56,8 +61,6 @@ def measure_ours(steps: int = 10, warmup: int = 2) -> float:
 
     from murcl_tpu.engine import BankArrays, ContrastiveEngine, PretrainConfig
     from murcl_tpu.models import FullLayer, build_aggregator
-
-    import os
 
     dtype = os.environ.get("MURCL_BENCH_DTYPE", "bfloat16")
     # bf16 bank: halves the gather/mixup HBM traffic (the step is
