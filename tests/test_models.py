@@ -233,3 +233,18 @@ def test_build_aggregator(arch, feat, bags):
     params = model.init(jax.random.PRNGKey(0), bags)
     out = model.apply(params, bags)
     assert out is not None
+
+
+def test_actor_critic_conv_variant():
+    """policy_conv capability (rlmil.py:31-37): conv feature-map states."""
+    from murcl_tpu.models import ActorCritic
+
+    c, h, w = 8, 4, 4
+    model = ActorCritic(state_dim=c * h * w, hidden_state_dim=16,
+                        action_size=3, policy_conv=True, feature_dim=c)
+    state = jnp.ones((B, c, h, w))
+    carry = model.zero_carry(B)
+    params = model.init(jax.random.PRNGKey(0), state, carry)
+    mean, value, new_carry = model.apply(params, state, carry)
+    assert mean.shape == (B, 3) and value.shape == (B,)
+    assert (np.asarray(mean) >= 0).all() and (np.asarray(mean) <= 1).all()
