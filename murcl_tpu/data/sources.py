@@ -20,6 +20,8 @@ from murcl_tpu.data.streaming import StreamingBank
 class ResidentSource:
     """Whole split resident in HBM; batches are just id vectors."""
 
+    PREFETCH = 0  # nothing to stage
+
     def __init__(self, bank: FeatureBank):
         from murcl_tpu.engine.supervised import BankArrays
 
@@ -38,6 +40,10 @@ class ResidentSource:
         ids = np.asarray(ids, dtype=np.int32)
         return self._arrays, jnp.asarray(ids), jnp.asarray(self.labels[ids])
 
+    def iter_batches(self, id_list):
+        for ids in id_list:
+            yield self.batch(ids)
+
 
 class StreamingSource:
     """Host-resident split; each batch staged as a mini-bank."""
@@ -53,6 +59,11 @@ class StreamingSource:
 
     def batch(self, ids: np.ndarray):
         return self.stream.stage(np.asarray(ids, dtype=np.int32))
+
+    def iter_batches(self, id_list):
+        """Prefetching iterator: the next batch stages on a background
+        thread while the device computes on the current one."""
+        return self.stream.iter_epoch(list(id_list), prefetch=1)
 
 
 def build_sources(data_csv, split_indices: dict, streaming: bool = False):

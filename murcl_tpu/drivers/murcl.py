@@ -197,13 +197,14 @@ def run(args) -> dict:
         # would force a host sync per step and stall the dispatch pipeline
         step_losses, step_counts = [], []
         n_steps = 0
-        for ids, _valid in epoch_batches(
+        batches = list(epoch_batches(
             src.num_slides, args.num_data, args.batch_size, np_rng,
             drop_partial=True,  # MuRCL fires only on full batches (:233)
-        ):
+        ))
+        staged = src.iter_batches([ids for ids, _ in batches])
+        for (ids, _valid), (bank_arrays, slide_ids, _labels) in zip(batches, staged):
             rng, r_step = jax.random.split(rng)
             profiler.step()
-            bank_arrays, slide_ids, _labels = src.batch(ids)
             agg_state, ppo_state, stats = engine.train_step(
                 agg_state, ppo_state, bank_arrays, slide_ids, r_step
             )

@@ -312,13 +312,14 @@ def _train_loop(args, engine, agg_state, ppo_state, sources, rng):
         # device dispatch pipeline
         pending = []
         train_src = sources["train"]
-        for ids, valid in epoch_batches(
+        batches = list(epoch_batches(
             train_src.num_slides, args.num_data, args.batch_size, np_rng,
             drop_partial=False,
-        ):
+        ))
+        staged = train_src.iter_batches([ids for ids, _ in batches])
+        for (ids, valid), (bank_arrays, slide_ids, labels) in zip(batches, staged):
             rng, r_step = jax.random.split(rng)
             profiler.step()
-            bank_arrays, slide_ids, labels = train_src.batch(ids)
             agg_state, ppo_state, stats = engine.train_step(
                 agg_state, ppo_state, bank_arrays,
                 slide_ids, labels, r_step, valid=jnp.asarray(valid),
