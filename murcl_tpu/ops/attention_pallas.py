@@ -350,18 +350,17 @@ def gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=None,
     if impl == "pallas":
         # the resident kernel keeps the whole bag in VMEM; very long bags
         # (full-slide heatmap attention, 10k+ patches) exceed the ~16 MB
-        # budget. When the bag tiles evenly, stream it through the tiled
-        # two-sweep kernel; otherwise fall back to XLA. (The tiled kernel
-        # has no in-kernel dropout; training bags always fit resident.)
+        # budget. Stream those through the online-softmax tiled kernel.
+        # (The tiled kernel has no in-kernel dropout; training bags always
+        # fit resident, so dropout>0 oversized bags fall back to XLA.)
         _, n, f = x.shape
         bag_bytes = n * f * x.dtype.itemsize
         if bag_bytes > 6 * 1024 * 1024:
-            # measured on v5e at N=10240: XLA takes ~25 ms (dispatch-bound)
-            # while the tiled streaming kernel takes ~2.1 s (its sequential
-            # per-tile DMA loop + dynamic lane-slice stores lower poorly) —
-            # XLA wins decisively for oversized bags, so it is the fallback;
-            # attention_pool_tiled stays available for future tuning.
-            impl = "xla"
+            if dropout > 0:
+                impl = "xla"
+            else:
+                return attention_pool_tiled(x, wa, ba, wb, bb, wc, bc,
+                                            mask=mask, gated=gated)
     if impl == "pallas":
         op = _get_op(gated, dropout)
         if seed is None:
@@ -378,82 +377,58 @@ def gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=None,
 # ---------------------------------------------------------------------------
 # Tiled kernel for bags too large for VMEM (full-slide heatmap attention)
 # ---------------------------------------------------------------------------
-def _make_tiled_fwd_kernel(gated: bool, tile: int, n_tiles: int):
-    """Two-sweep streaming attention pool: the bag lives in HBM and tiles
-    stream through a double-buffered VMEM scratch.
+def _make_tiled_fwd_kernel(gated: bool, n_tiles: int):
+    """Single-sweep online-softmax attention pool over ``grid=(B, n_tiles)``.
 
-    Sweep 1 computes raw scores per tile (stored in the (1, N) score output
-    block, which is VMEM-resident) and the masked global max; sweep 2
-    re-streams the bag to accumulate ``sum(exp)`` and the weighted sum.
+    The bag streams through Pallas' own block pipeline (double-buffered HBM
+    fetches of ``(tile, F)`` slabs, no in-kernel DMA loop); the pooled
+    output block ``(1, 1, F)`` is *revisited* across the tile dimension and
+    holds the running weighted sum, rescaled flash-attention-style whenever
+    a new masked maximum appears. Raw scores land in per-tile output blocks
+    (static stores — dynamic lane-slice stores lower poorly on Mosaic); the
+    softmax weights are recovered outside the kernel from the scores
+    (an O(B·N) elementwise pass, free next to the O(B·N·F·D) kernel).
     """
 
-    def kernel(x_hbm, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
-               mask_ref, m_ref, p_ref, s_ref, x_tile, sems, acc_ref):
-        bag = pl.program_id(0)
+    def kernel(x_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
+               mask_ref, m_ref, s_ref, mx_ref, l_ref):
+        t = pl.program_id(1)
 
-        def dma(slot, t):
-            return pltpu.make_async_copy(
-                x_hbm.at[bag, pl.ds(t * tile, tile), :], x_tile.at[slot],
-                sems.at[slot],
+        @pl.when(t == 0)
+        def _():
+            m_ref[:] = jnp.zeros_like(m_ref)
+            mx_ref[0, 0] = _NEG_INF
+            l_ref[0, 0] = 0.0
+
+        x = x_ref[0]  # (tile, F)
+        a = jnp.tanh(
+            jnp.dot(x, wa_ref[:].astype(x.dtype),
+                    preferred_element_type=jnp.float32) + ba_ref[0]
+        )
+        if gated:
+            a = a * jax.nn.sigmoid(
+                jnp.dot(x, wb_ref[:].astype(x.dtype),
+                        preferred_element_type=jnp.float32) + bb_ref[0]
             )
+        s = jnp.dot(a, wc_ref[:], preferred_element_type=jnp.float32)[:, 0] + bc_ref[0, 0]
+        s_ref[0, 0] = s
 
-        def scores_of(xt):
-            a = jnp.tanh(
-                jnp.dot(xt, wa_ref[:].astype(xt.dtype),
-                        preferred_element_type=jnp.float32) + ba_ref[0]
-            )
-            if gated:
-                a = a * jax.nn.sigmoid(
-                    jnp.dot(xt, wb_ref[:].astype(xt.dtype),
-                            preferred_element_type=jnp.float32) + bb_ref[0]
-                )
-            return jnp.dot(a, wc_ref[:], preferred_element_type=jnp.float32)[:, 0] + bc_ref[0, 0]
+        mask = mask_ref[0, 0]  # (tile,)
+        masked = jnp.where(mask, s, _NEG_INF)
+        mx_old = mx_ref[0, 0]
+        mx_new = jnp.maximum(mx_old, jnp.max(masked))
+        corr = jnp.exp(mx_old - mx_new)
+        e = jnp.where(mask, jnp.exp(masked - mx_new), 0.0)
+        l_ref[0, 0] = l_ref[0, 0] * corr + jnp.sum(e)
+        m_ref[0, 0] = m_ref[0, 0] * corr + jnp.dot(
+            e.reshape(1, -1).astype(x.dtype), x,
+            preferred_element_type=jnp.float32,
+        )[0]
+        mx_ref[0, 0] = mx_new
 
-        # ---- sweep 1: scores + masked max --------------------------------
-        dma(0, 0).start()
-
-        def sweep1(t, _):
-            slot = t % 2
-
-            @pl.when(t + 1 < n_tiles)
-            def _():
-                dma((t + 1) % 2, t + 1).start()
-
-            dma(slot, t).wait()
-            s_ref[0, 0, pl.ds(t * tile, tile)] = scores_of(x_tile[slot])
-            return 0
-
-        jax.lax.fori_loop(0, n_tiles, sweep1, 0)
-        s_all = s_ref[0, 0]
-        masked = jnp.where(mask_ref[0, 0], s_all, _NEG_INF)
-        s_max = jnp.max(masked)
-
-        # ---- sweep 2: exp-sum + weighted pool -----------------------------
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        dma(0, 0).start()
-
-        def sweep2(t, sum_e):
-            slot = t % 2
-
-            @pl.when(t + 1 < n_tiles)
-            def _():
-                dma((t + 1) % 2, t + 1).start()
-
-            dma(slot, t).wait()
-            e_t = jnp.where(
-                mask_ref[0, 0, pl.ds(t * tile, tile)],
-                jnp.exp(s_ref[0, 0, pl.ds(t * tile, tile)] - s_max), 0.0,
-            )
-            acc_ref[:] += jnp.dot(
-                e_t.reshape(1, -1).astype(x_tile.dtype), x_tile[slot],
-                preferred_element_type=jnp.float32,
-            )
-            return sum_e + jnp.sum(e_t)
-
-        sum_e = jax.lax.fori_loop(0, n_tiles, sweep2, jnp.float32(0.0))
-        p = jnp.where(mask_ref[0, 0], jnp.exp(s_all - s_max), 0.0) / sum_e
-        p_ref[0, 0] = p
-        m_ref[0, 0] = acc_ref[0] / sum_e
+        @pl.when(t == n_tiles - 1)
+        def _():
+            m_ref[0, 0] = m_ref[0, 0] / l_ref[0, 0]
 
     return kernel
 
@@ -464,39 +439,38 @@ def _fwd_tiled_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated: bool,
     d = wa.shape[1]
     assert n % tile == 0, f"bag length {n} must be a multiple of tile {tile}"
     n_tiles = n // tile
-    m, p, s = pl.pallas_call(
-        _make_tiled_fwd_kernel(gated, tile, n_tiles),
-        grid=(b,),
+    m, s = pl.pallas_call(
+        _make_tiled_fwd_kernel(gated, n_tiles),
+        grid=(b, n_tiles),
         in_specs=[
-            # ANY-space inputs must be unblocked; the kernel indexes the
-            # bag with program_id and DMAs tiles manually
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, f), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            # revisited across t: the running (then final) pooled embedding
+            pl.BlockSpec((1, 1, f), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, f), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, tile, f), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((1, f), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),  # running masked max
+            pltpu.SMEM((1, 1), jnp.float32),  # running sum(exp)
         ],
     )(x, wa, ba.reshape(1, -1), wb, bb.reshape(1, -1), wc.reshape(-1, 1),
       bc.reshape(1, 1), mask.reshape(b, 1, n))
-    return m[:, 0], p[:, 0], s[:, 0]
+    s = s[:, 0]
+    # softmax weights from the raw scores: one fused elementwise XLA pass
+    p = jax.nn.softmax(jnp.where(mask, s, _NEG_INF), axis=-1)
+    return m[:, 0], p, s
 
 
 def _make_tiled_op(gated: bool, tile: int):
@@ -530,17 +504,24 @@ def attention_pool_tiled(x, wa, ba, wb, bb, wc, bc, mask=None,
                          gated: bool = True, tile: int = 2048):
     """Streaming attention pool for bags too large for VMEM residency.
 
-    Numerically verified on hardware (maxdiff 2e-4 vs XLA at N=10240) but
-    currently ~87x SLOWER than XLA there: the sequential two-sweep DMA loop
-    and dynamic lane-dimension stores lower poorly, while XLA's version is
-    already dispatch-latency-bound (~25 ms). Kept as a correct reference
-    for future tuning; the production path uses XLA for oversized bags.
+    Online-softmax over ``grid=(B, n_tiles)`` with accumulator revisiting —
+    one pass over the bag at HBM speed. Bags whose length is not a tile
+    multiple are zero-padded with a False mask (one extra tile at most);
+    outputs are sliced back to the true length.
     """
     if mask is None:
         mask = jnp.ones(x.shape[:2], dtype=bool)
+    b, n, f = x.shape
+    pad = (-n) % tile
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
     key = (gated, tile)
     if key not in _TILED_OPS:
         _TILED_OPS[key] = _make_tiled_op(gated, tile)
-    return _TILED_OPS[key](
+    m, p, s = _TILED_OPS[key](
         x, wa, ba, wb, bb, wc, jnp.asarray(bc, jnp.float32).reshape(()), mask
     )
+    if pad:
+        p, s = p[:, :n], s[:, :n]
+    return m, p, s

@@ -144,18 +144,37 @@ def main():
     want = gated_attention_pool_xla(xb, wa, ba, wb, bb, wc, bc, mask=maskb)
     err = float(jnp.abs(got[0] - want[0]).max())
     assert err < 5e-3, err
-    t0 = time.perf_counter()
-    for _ in range(5):
-        got = attention_pool_tiled(xb, wa, ba, wb, bb, wc, bc, mask=maskb)
-    float(got[0][0, 0])
-    dt_tiled = (time.perf_counter() - t0) / 5
-    t0 = time.perf_counter()
-    for _ in range(5):
-        want = gated_attention_pool_xla(xb, wa, ba, wb, bb, wc, bc, mask=maskb)
-    float(want[0][0, 0])
-    dt_xla = (time.perf_counter() - t0) / 5
-    print(f"tiled kernel at N={n_big}: OK (maxdiff {err:.4f}; "
-          f"{dt_tiled*1000:.1f} ms vs XLA {dt_xla*1000:.1f} ms)")
+
+    # throughput: ONE jitted program runs the op K times with a data
+    # dependence — eager per-call timing through the axon tunnel only
+    # measures the ~20 ms dispatch RPC, not the kernel
+    K = 20
+    xb16 = xb.astype(jnp.bfloat16)
+
+    def loop(fn):
+        def run(x_):
+            def body(i, carry):
+                m, _, _ = fn(carry)
+                return carry + (jnp.mean(m) * 1e-9).astype(carry.dtype)
+            return jax.lax.fori_loop(0, K, body, x_)
+        return jax.jit(run)
+
+    def timed(fn, x_):
+        f = loop(fn)
+        float(f(x_)[0, 0, 0])  # compile + first run
+        t0 = time.perf_counter()
+        float(f(x_)[0, 0, 0])
+        return (time.perf_counter() - t0) / K * 1000
+
+    dt_tiled = timed(lambda x_: attention_pool_tiled(
+        x_, wa, ba, wb, bb, wc, bc, mask=maskb), xb16)
+    dt_xla = timed(lambda x_: gated_attention_pool_xla(
+        x_, wa, ba, wb, bb, wc, bc, mask=maskb), xb16)
+    print(f"tiled kernel at N={n_big} bf16: OK (maxdiff {err:.4f}; "
+          f"{dt_tiled:.2f} ms vs XLA {dt_xla:.2f} ms per call)")
+    assert dt_tiled <= dt_xla * 1.1, (
+        f"tiled kernel regressed below XLA: {dt_tiled:.2f} vs {dt_xla:.2f} ms"
+    )
     print("TPU SMOKE: ALL OK")
 
 

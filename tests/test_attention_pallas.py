@@ -115,7 +115,7 @@ def test_dropout_grads_finite(inputs):
 
 # ------------------------------------------------------------- tiled kernel --
 def test_tiled_forward_matches_xla(rng):
-    """Streaming two-sweep kernel == XLA reference on a multi-tile bag."""
+    """Streaming online-softmax kernel == XLA reference on a multi-tile bag."""
     B2, N2, F2, D2 = 2, 32, 8, 4
     x = jnp.asarray(rng.normal(size=(B2, N2, F2)).astype(np.float32))
     wa = jnp.asarray(rng.normal(size=(F2, D2)).astype(np.float32) * 0.3)
@@ -141,3 +141,50 @@ def test_tiled_forward_matches_xla(rng):
             x_, wa, ba, wb, bb, wc, bc, mask=mask)[0] ** 2))(x)),
         atol=2e-5,
     )
+
+
+def test_tiled_pads_non_multiple_bags(rng):
+    """N not a tile multiple: zero-pad + False mask, outputs sliced back."""
+    B2, N2, F2, D2 = 2, 29, 8, 4
+    x = jnp.asarray(rng.normal(size=(B2, N2, F2)).astype(np.float32))
+    wa = jnp.asarray(rng.normal(size=(F2, D2)).astype(np.float32) * 0.3)
+    ba = jnp.asarray(rng.normal(size=(D2,)).astype(np.float32) * 0.1)
+    wb = jnp.asarray(rng.normal(size=(F2, D2)).astype(np.float32) * 0.3)
+    bb = jnp.asarray(rng.normal(size=(D2,)).astype(np.float32) * 0.1)
+    wc = jnp.asarray(rng.normal(size=(D2,)).astype(np.float32) * 0.3)
+    bc = jnp.float32(0.02)
+    mask = jnp.asarray(np.arange(N2)[None, :] < np.array([29, 17])[:, None])
+
+    got = gap.attention_pool_tiled(x, wa, ba, wb, bb, wc, bc, mask=mask,
+                                   gated=True, tile=8)
+    want = gap.gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask=mask)
+    assert got[1].shape == (B2, N2) and got[2].shape == (B2, N2)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
+
+
+def test_large_bag_routes_to_tiled(rng, monkeypatch):
+    """gated_attention_pool streams oversized dropout-free bags through the
+    tiled kernel (the full-bag heatmap path, create_heatmaps.py:160-162)."""
+    calls = {}
+    orig = gap.attention_pool_tiled
+
+    def spy(*a, **k):
+        calls["hit"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(gap, "attention_pool_tiled", spy)
+    # force the pallas route on CPU; 2048 * 1024 f32 > 6 MB threshold
+    B2, N2, F2, D2 = 1, 2048, 1024, 4
+    x = jnp.asarray(rng.normal(size=(B2, N2, F2)).astype(np.float32))
+    wa = jnp.asarray(rng.normal(size=(F2, D2)).astype(np.float32) * 0.1)
+    ba = jnp.zeros((D2,))
+    wb = jnp.asarray(rng.normal(size=(F2, D2)).astype(np.float32) * 0.1)
+    bb = jnp.zeros((D2,))
+    wc = jnp.asarray(rng.normal(size=(D2,)).astype(np.float32) * 0.1)
+    bc = jnp.float32(0.0)
+    got = gap.gated_attention_pool(x, wa, ba, wb, bb, wc, bc, impl="pallas")
+    assert calls.get("hit"), "oversized bag did not route to the tiled kernel"
+    want = gap.gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               atol=1e-4)
