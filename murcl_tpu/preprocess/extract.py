@@ -55,7 +55,8 @@ class PatchEncoder:
 
     def __init__(self, image_encoder: str = "resnet18", batch_size: int = 256,
                  patch_size: int = 256, weights: Optional[str] = None,
-                 imagenet_norm: bool = False, dtype: str = "float32"):
+                 imagenet_norm: bool = False, dtype: str = "float32",
+                 resize_on_device: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -63,6 +64,7 @@ class PatchEncoder:
         self.batch_size = batch_size
         self.patch_size = patch_size
         self.imagenet_norm = imagenet_norm
+        self.resize_on_device = resize_on_device
 
         if weights is not None:
             self.params = load_params_npz(weights)
@@ -82,7 +84,16 @@ class PatchEncoder:
 
         @jax.jit
         def encode(params, batch_u8):
-            x = batch_u8.astype(compute_dtype) / 255.0  # ToTensor
+            x = batch_u8.astype(compute_dtype)
+            if resize_on_device and batch_u8.shape[1] != patch_size:
+                # host threads then only DECODE; the downscale runs on the
+                # VPU (bilinear, torchvision-Resize semantics) fused with
+                # the scaling below. On direct-attached hosts this removes
+                # the per-patch PIL resize from the CPU critical path.
+                x = jax.image.resize(
+                    x, (x.shape[0], patch_size, patch_size, 3), method="bilinear"
+                )
+            x = x / 255.0  # ToTensor
             if self.imagenet_norm:
                 x = (x - IMAGENET_MEAN.astype(compute_dtype)) / IMAGENET_STD.astype(compute_dtype)
             return self.model.apply(params, x).astype(jnp.float32)
@@ -112,17 +123,25 @@ class PatchEncoder:
 
 
 def _read_patches(slide, coords: List[dict], patch_size_level0: int,
-                  patch_size: int, num_workers: int = 8) -> np.ndarray:
-    """Decode all patch regions of one slide into a uint8 array, threaded."""
+                  patch_size: int, num_workers: int = 8,
+                  resize_on_host: bool = True) -> np.ndarray:
+    """Decode all patch regions of one slide into a uint8 array, threaded.
+
+    With ``resize_on_host=False`` the raw level-0 patches are returned and
+    the encoder's jitted program downscales them on device.
+    """
     n = len(coords)
-    out = np.empty((n, patch_size, patch_size, 3), dtype=np.uint8)
+    out_size = patch_size if resize_on_host else patch_size_level0
+    out = np.empty((n, out_size, out_size, 3), dtype=np.uint8)
 
     def work(i):
         c = coords[i]
         img = slide.read_region(
             location=(c["x"], c["y"]), level=0,
             size=(patch_size_level0, patch_size_level0),
-        ).convert("RGB").resize((patch_size, patch_size))
+        ).convert("RGB")
+        if resize_on_host and patch_size_level0 != patch_size:
+            img = img.resize((patch_size, patch_size))
         out[i] = np.asarray(img, dtype=np.uint8)
 
     if num_workers <= 1 or n < 4:
@@ -145,6 +164,7 @@ def extract_features(
     weights: Optional[str] = None,
     exist_ok: bool = False,
     imagenet_norm: bool = False,
+    resize_on_device: bool = False,
 ) -> None:
     """All coord jsons under ``patch_dir/coord`` -> feature npz per slide.
 
@@ -164,7 +184,8 @@ def extract_features(
         return
 
     encoder = PatchEncoder(image_encoder, batch_size=batch_size, weights=weights,
-                           imagenet_norm=imagenet_norm)
+                           imagenet_norm=imagenet_norm,
+                           resize_on_device=resize_on_device)
 
     q: "queue.Queue" = queue.Queue(maxsize=2)  # double buffer
 
@@ -179,6 +200,7 @@ def extract_features(
             patches = _read_patches(
                 slide, coord["coords"], coord["patch_size_level0"],
                 coord["patch_size"], num_workers,
+                resize_on_host=not resize_on_device,
             )
             q.put((cp.stem, coord, patches))
         q.put(None)

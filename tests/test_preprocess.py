@@ -132,6 +132,45 @@ def test_patch_encoder_shapes():
     np.testing.assert_allclose(feats[:4], feats2, rtol=1e-5)
 
 
+def test_patch_encoder_resize_on_device():
+    """On-device downscale path: raw level-0 uint8 in, same feature shape
+    out; with no downscale needed the two paths are bit-identical."""
+    from murcl_tpu.preprocess.extract import PatchEncoder
+
+    rng = np.random.default_rng(1)
+    enc_dev = PatchEncoder("resnet18", batch_size=4, patch_size=32,
+                           resize_on_device=True)
+    # level-0 patches at 2x the target size -> device bilinear downscale
+    raw = rng.integers(0, 255, (4, 64, 64, 3), dtype=np.uint8)
+    feats = enc_dev.encode_patches(raw)
+    assert feats.shape == (4, 512) and np.isfinite(feats).all()
+
+    # equal sizes: resize is a no-op, output matches the host-resize path
+    small = rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8)
+    enc_host = PatchEncoder("resnet18", batch_size=4, patch_size=32)
+    enc_host.params = enc_dev.params
+    np.testing.assert_array_equal(enc_dev.encode_patches(small),
+                                  enc_host.encode_patches(small))
+
+
+def test_read_patches_raw_mode(monkeypatch):
+    """resize_on_host=False returns level-0-sized uint8 patches."""
+    from PIL import Image
+
+    from murcl_tpu.preprocess.extract import _read_patches
+
+    class FakeSlide:
+        def read_region(self, location, level, size):
+            return Image.new("RGB", size, (location[0] % 256, 0, 0))
+
+    coords = [{"x": i * 10, "y": 0} for i in range(3)]
+    raw = _read_patches(FakeSlide(), coords, 64, 32, num_workers=1,
+                        resize_on_host=False)
+    assert raw.shape == (3, 64, 64, 3)
+    resized = _read_patches(FakeSlide(), coords, 64, 32, num_workers=1)
+    assert resized.shape == (3, 32, 32, 3)
+
+
 def test_resnet_matches_torch_when_available():
     pytest.importorskip("torchvision")
 

@@ -33,6 +33,10 @@ def main():
                         help="pickled flax params (for zero-egress environments)")
     parser.add_argument('--imagenet_norm', action='store_true', default=False,
                         help="apply ImageNet normalization (the reference does NOT)")
+    parser.add_argument('--resize_on_device', action='store_true', default=False,
+                        help="ship raw level-0 uint8 patches and downscale on "
+                             "the accelerator (removes PIL resize from the "
+                             "host critical path; best on direct-attached TPU)")
     args = parser.parse_args()
 
     if args.save_dir is not None:
@@ -44,6 +48,7 @@ def main():
         batch_size=args.batch_size, num_workers=args.num_workers,
         weights=args.weights, exist_ok=args.exist_ok,
         imagenet_norm=args.imagenet_norm,
+        resize_on_device=args.resize_on_device,
     )
 
 
