@@ -39,7 +39,7 @@ def make_dataset(root):
     )
 
 
-def run_ours(ds, root) -> pd.DataFrame:
+def run_ours(ds, root, overrides=None) -> pd.DataFrame:
     from murcl_tpu.drivers import rlmil
 
     args = rlmil.default_args(
@@ -50,11 +50,13 @@ def run_ours(ds, root) -> pd.DataFrame:
         arch="ABMIL", L=32, D=8, fc_hidden_dim=32,
         base_save_dir=str(Path(root) / "ours"), exist_ok=True, device="cpu",
     )
+    for k, v in (overrides or {}).items():
+        setattr(args, k, v)
     out = rlmil.run(args)
     return pd.read_csv(Path(out["save_dir"]) / "final_res.csv", index_col=0)
 
 
-def run_reference(ds, root) -> pd.DataFrame:
+def run_reference(ds, root, overrides=None) -> pd.DataFrame:
     import torch
 
     # neutralize the reference's hardcoded CUDA usage on this CPU-only build
@@ -103,6 +105,9 @@ def run_reference(ds, root) -> pd.DataFrame:
             save_dir_flag=None, exist_ok=True, save_model=False,
             device="cpu", seed=985,
         )
+        for k, v in (overrides or {}).items():
+            if k != "device":  # the reference side always runs CPU torch
+                setattr(args, k, v)
         ref.run(args)
         save_dir = Path(args.save_dir)
         return pd.read_csv(save_dir / "final_res.csv", index_col=0)
@@ -111,12 +116,49 @@ def run_reference(ds, root) -> pd.DataFrame:
 
 
 def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--real-data", action="store_true", default=False,
+                        help="run on a mounted real dataset (Camelyon16/TCGA) "
+                             "instead of the synthetic fixture; requires "
+                             "--data_csv/--data_split_json")
+    parser.add_argument("--data_csv", type=str, default=None)
+    parser.add_argument("--data_split_json", type=str, default=None)
+    parser.add_argument("--arch", type=str, default="ABMIL",
+                        choices=["ABMIL", "CLAM_SB", "DSMIL"])
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--feat_size", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--T", type=int, default=None)
+    parser.add_argument("--device", type=str, default="cpu",
+                        help="ours runs on this backend; the reference is CPU torch")
+    cli = parser.parse_args()
+
     root = tempfile.mkdtemp(prefix="parity_")
-    ds = make_dataset(root)
-    ours = run_ours(ds, root)
-    theirs = run_reference(ds, root)
+    if cli.real_data:
+        assert cli.data_csv and cli.data_split_json, \
+            "--real-data requires --data_csv and --data_split_json"
+        ds = {"data_csv": cli.data_csv, "data_split_json": cli.data_split_json}
+        # reference-paper defaults at real scale (BASELINE.md north star)
+        overrides = {
+            "dataset": "real", "arch": cli.arch, "device": cli.device,
+            "feat_size": cli.feat_size or 1024, "T": cli.T or 6,
+            "epochs": cli.epochs or 40, "batch_size": cli.batch_size or 64,
+            "backbone_lr": 1e-4, "fc_lr": 1e-4, "L": 512, "D": 128,
+            "fc_hidden_dim": 1024,
+        }
+        ours = run_ours(ds, root, overrides)
+        theirs = run_reference(ds, root, overrides)
+        desc = f"real data: {cli.data_csv} ({cli.arch})"
+    else:
+        ds = make_dataset(root)
+        ours = run_ours(ds, root)
+        theirs = run_reference(ds, root)
+        desc = (f"{SLIDES} synthetic slides, dim={DIM}, K={K}, "
+                f"feat_size={FEAT}, T={T}, {EPOCHS} epochs")
     report = {
-        "dataset": f"{SLIDES} synthetic slides, dim={DIM}, K={K}, feat_size={FEAT}, T={T}, {EPOCHS} epochs",
+        "dataset": desc,
         "ours": {c: float(ours.iloc[0][c]) for c in ours.columns},
         "reference": {c: float(theirs.iloc[0][c]) for c in theirs.columns},
         "auc_gap": abs(float(ours.iloc[0]["auc"]) - float(theirs.iloc[0]["auc"])),
