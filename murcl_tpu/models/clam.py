@@ -44,6 +44,25 @@ def _xavier_linear(features: int, name: str) -> TorchLinear:
     )
 
 
+class _TrunkParams(nn.Module):
+    """TorchLinear-compatible parameters without the forward.
+
+    Exposes ``(kernel (in, out), bias (out,))`` under the same leaf names
+    and init as :class:`TorchLinear` (so checkpoints and the torch bridge
+    are unaffected) while letting the caller feed them into the fused
+    trunk+attention kernel instead of a standalone matmul.
+    """
+
+    dim_in: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", xavier_normal(), (self.dim_in, self.features))
+        bias = self.param("bias", jax.nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class AttentionPool(nn.Module):
     """Attention scorer + softmax pooling, fusable into one Pallas kernel.
 
@@ -68,12 +87,15 @@ class AttentionPool(nn.Module):
     init: str = "xavier"  # xavier (CLAM) | torch (ABMIL's nn.Linear default)
 
     @nn.compact
-    def __call__(self, x, mask=None, train: bool = False):
+    def __call__(self, x, mask=None, train: bool = False, trunk=None):
         import math
 
-        from murcl_tpu.ops.attention_pallas import gated_attention_pool
+        from murcl_tpu.ops.attention_pallas import (
+            fused_trunk_attention_pool,
+            gated_attention_pool,
+        )
 
-        f = x.shape[-1]
+        f = trunk[0].shape[1] if trunk is not None else x.shape[-1]
         if self.init == "xavier":
             k1 = k2 = xavier_normal()
             b1 = b2 = jax.nn.initializers.zeros
@@ -100,6 +122,33 @@ class AttentionPool(nn.Module):
         impl = self.impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+        if trunk is not None:
+            wf, bf = trunk
+            n = x.shape[1]
+            resident = (
+                n * max(x.shape[-1], f) * x.dtype.itemsize <= 6 * 1024 * 1024
+            )
+            if impl == "pallas" and resident and not self.is_initializing():
+                # ONE kernel: trunk matmul+relu+dropout, gates, softmax,
+                # pooling — the (B, N, L1) trunk output never touches HBM
+                seed = None
+                rate = 0.0
+                if use_dropout:
+                    rate = self.dropout
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (), 0, 2**31 - 1,
+                        dtype=jnp.int32,
+                    )
+                return fused_trunk_attention_pool(
+                    x, wf, bf, wa, ba, wb, bb, wc[:, 0], bc[0], mask=mask,
+                    impl="pallas", gated=self.gated, dropout=rate, seed=seed,
+                )
+            # unfused fallback (CPU, init trace, oversized bags): trunk in
+            # XLA, then the standard attention path below
+            x = nn.relu(jnp.dot(x, wf.astype(x.dtype)) + bf.astype(x.dtype))
+            if use_dropout:
+                x = nn.Dropout(self.dropout, deterministic=False)(x)
 
         if impl == "pallas" and not self.is_initializing():
             # fused kernel path, incl. training: dropout masks are generated
@@ -168,13 +217,25 @@ class CLAM_SB(nn.Module):
         train: bool = False,
     ):
         l1, l2 = SIZE_DICT[self.size_arg]
-        x = nn.relu(_xavier_linear(l1, "fc")(h))
-        if self.dropout > 0:
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        m, weights, scores = AttentionPool(
+        wf, bf = _TrunkParams(dim_in=h.shape[-1], features=l1, name="fc")()
+        pool = AttentionPool(
             D=l2, gated=self.gate, dropout=self.dropout, impl=self.attn_impl,
             name="attn",
-        )(x, mask=mask, train=train)
+        )
+        if instance_eval:
+            # the instance branch gathers trunk-output rows; keep the trunk
+            # materialized (XLA fuses it with the gather) and the attention
+            # kernel standalone
+            x = nn.relu(jnp.dot(h, wf.astype(h.dtype)) + bf.astype(h.dtype))
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            m, weights, scores = pool(x, mask=mask, train=train)
+        else:
+            # hot path (pretraining encodes, eval): trunk fused into the
+            # attention kernel — no (B, N, l1) HBM round-trip per call
+            m, weights, scores = pool(h, mask=mask, train=train,
+                                      trunk=(wf, bf))
+            x = None
 
         # dead-code bag head, kept as parameters (clam.py:78,171-173)
         logits = _xavier_linear(self.n_classes, "classifiers")(m)

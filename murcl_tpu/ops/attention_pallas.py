@@ -375,6 +375,372 @@ def gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=None,
 
 
 # ---------------------------------------------------------------------------
+# Fused trunk + attention kernel (CLAM hot path)
+# ---------------------------------------------------------------------------
+# CLAM's per-view-step compute is trunk -> gated attention -> pool
+# (reference ``clam.py:69-77,144,170``). Unfused, the trunk output
+# ``x = dropout(relu(h @ Wf + bf))`` — (B, N, 512), 134 MB bf16 at the
+# canonical pretrain shape — round-trips through HBM between the XLA trunk
+# and the attention kernel on every one of the 12 view-steps. Fusing the
+# trunk into the kernel keeps ``x`` in VMEM for its whole life; the
+# backward recomputes it from the same VMEM-resident ``h`` (one extra
+# fused matmul, zero extra HBM traffic).
+
+
+def _dropout_masks_trunk(seed, rate: float, shape_x, shape_g, gated: bool,
+                         dtype=jnp.bool_):
+    """Keep masks for trunk + gate activations (same order in fwd and bwd).
+
+    ``dtype`` selects the storage: bool lowers to 32-bit vmasks in VMEM;
+    the backward kernel stores exact 0/1 values in the bag dtype instead
+    (half/quarter the bytes) and applies them multiplicatively —
+    ``v * mask * scale`` is bitwise ``where(mask, v*scale, 0)`` for f32 v.
+    """
+    pltpu.prng_seed(seed + pl.program_id(0))
+    thresh = jnp.uint32(min(2**32 - 1, int(rate * 2**32)))
+
+    def keep(shape):
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        k = bits >= thresh
+        return k if dtype == jnp.bool_ else k.astype(dtype)
+
+    keep_x = keep(shape_x)
+    keep_a = keep(shape_g)
+    keep_b = keep(shape_g) if gated else None
+    scale = 1.0 / (1.0 - rate)
+    return keep_x, keep_a, keep_b, scale
+
+
+def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float):
+    def kernel(h_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
+               wc_ref, bc_ref, mask_ref, seed_ref, m_ref, p_ref, s_ref):
+        h = h_ref[0]  # (N, Fin)
+        z = jnp.dot(h, wf_ref[:].astype(h.dtype),
+                    preferred_element_type=jnp.float32) + bf_ref[0]
+        x = jnp.maximum(z, 0.0)
+        d = wa_ref.shape[1]
+        if dropout > 0:
+            keep_x, keep_a, keep_b, scale = _dropout_masks_trunk(
+                seed_ref[0, 0], dropout, x.shape, (x.shape[0], d), gated
+            )
+            x = jnp.where(keep_x, x * scale, 0.0)
+        xc = x.astype(h.dtype)
+        a = jnp.tanh(
+            jnp.dot(xc, wa_ref[:].astype(xc.dtype),
+                    preferred_element_type=jnp.float32) + ba_ref[0]
+        )
+        if gated:
+            g = jax.nn.sigmoid(
+                jnp.dot(xc, wb_ref[:].astype(xc.dtype),
+                        preferred_element_type=jnp.float32) + bb_ref[0]
+            )
+        if dropout > 0:
+            a = jnp.where(keep_a, a * scale, 0.0)
+            if gated:
+                g = jnp.where(keep_b, g * scale, 0.0)
+        if gated:
+            a = a * g
+        s = jnp.dot(a, wc_ref[:], preferred_element_type=jnp.float32)[:, 0] + bc_ref[0, 0]
+        s_ref[0, 0] = s
+        sm = jnp.where(mask_ref[0, 0], s, _NEG_INF)
+        sm = sm - jnp.max(sm)
+        e = jnp.exp(sm)
+        p = e / jnp.sum(e)
+        p_ref[0, 0] = p
+        m_ref[0, 0] = jnp.dot(p.reshape(1, -1).astype(xc.dtype), xc,
+                              preferred_element_type=jnp.float32)[0]
+
+    return kernel
+
+
+def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float):
+    def kernel(h_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
+               wc_ref, mask_ref, seed_ref, p_ref, gm_ref, gp_ref, gs_ref,
+               dh_ref, dwf_ref, dbf_ref, dwa_ref, dba_ref, dwb_ref, dbb_ref,
+               dwc_ref, dbc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dwf_ref[:] = jnp.zeros_like(dwf_ref)
+            dbf_ref[:] = jnp.zeros_like(dbf_ref)
+            dwa_ref[:] = jnp.zeros_like(dwa_ref)
+            dba_ref[:] = jnp.zeros_like(dba_ref)
+            dwb_ref[:] = jnp.zeros_like(dwb_ref)
+            dbb_ref[:] = jnp.zeros_like(dbb_ref)
+            dwc_ref[:] = jnp.zeros_like(dwc_ref)
+            dbc_ref[:] = jnp.zeros_like(dbc_ref)
+
+        h = h_ref[0]
+        p = p_ref[0, 0]
+        gm = gm_ref[0, 0]
+        mask = mask_ref[0, 0]
+        d = wa_ref.shape[1]
+
+        # recompute trunk + gates; the same seed regenerates the exact
+        # masks. VMEM discipline (the f32/bool variants blow the 16 MB
+        # scoped budget at N=1024, Fin=L1=512 by ~1.2 MB): masks and the
+        # relu indicator are stored as exact 0/1 values in the bag dtype
+        # and applied multiplicatively — bitwise-identical to the
+        # forward's where(mask, v*scale, 0) for f32 v — and the dx chain
+        # runs in the bag dtype.
+        z = jnp.dot(h, wf_ref[:].astype(h.dtype),
+                    preferred_element_type=jnp.float32) + bf_ref[0]
+        relu_pos = (z > 0).astype(h.dtype)  # 0/1 indicator
+        x = jnp.maximum(z, 0.0)
+        if dropout > 0:
+            keep_x, keep_a, keep_b, scale = _dropout_masks_trunk(
+                seed_ref[0, 0], dropout, x.shape, (x.shape[0], d), gated,
+                dtype=h.dtype,
+            )
+            x = x * keep_x * scale
+        else:
+            keep_x = keep_a = keep_b = None
+            scale = 1.0
+        xc = x.astype(h.dtype)
+        # gate recompute in the bag dtype: with bf16 bags this halves ~8 MB
+        # of (N, D)/(N, L1) intermediates — remat-in-bf16, standard TPU
+        # practice; which units were dropped stays exact (masks are 0/1)
+        a = jnp.tanh(
+            jnp.dot(xc, wa_ref[:].astype(xc.dtype),
+                    preferred_element_type=jnp.float32) + ba_ref[0]
+        ).astype(h.dtype)
+        if gated:
+            g = jax.nn.sigmoid(
+                jnp.dot(xc, wb_ref[:].astype(xc.dtype),
+                        preferred_element_type=jnp.float32) + bb_ref[0]
+            ).astype(h.dtype)
+        scale_c = jnp.asarray(scale, jnp.float32).astype(h.dtype)
+        if dropout > 0:
+            a_eff = a * keep_a * scale_c
+            g_eff = g * keep_b * scale_c if gated else None
+        else:
+            a_eff = a
+            g_eff = g if gated else None
+        u = a_eff * g_eff if gated else a_eff
+
+        # pool + softmax backward (f32: these are (N,) vectors, cheap)
+        dp = jnp.dot(xc, gm.reshape(-1, 1).astype(xc.dtype),
+                     preferred_element_type=jnp.float32)[:, 0]
+        dp = dp + gp_ref[0, 0]
+        ds = p * (dp - jnp.sum(p * dp))
+        ds = jnp.where(mask, ds, 0.0) + gs_ref[0, 0]
+
+        dbc_ref[:] += jnp.sum(ds).reshape(1, 1)
+        dwc_ref[:] += jnp.dot(u.T, ds.reshape(-1, 1).astype(h.dtype),
+                              preferred_element_type=jnp.float32)
+        du = (ds.reshape(-1, 1).astype(h.dtype)
+              * wc_ref[:].reshape(1, -1).astype(h.dtype))  # (N, D)
+        if gated:
+            da_eff = du * g_eff
+            dg_eff = du * a_eff
+        else:
+            da_eff = du
+            dg_eff = None
+        if dropout > 0:
+            da = da_eff * keep_a * scale_c
+            dg = dg_eff * keep_b * scale_c if gated else None
+        else:
+            da = da_eff
+            dg = dg_eff
+        one = jnp.asarray(1.0, h.dtype)
+        dza = da * (one - a * a)
+        if gated:
+            dzb = dg * g * (one - g)
+            dwb_ref[:] += jnp.dot(xc.T, dzb,
+                                  preferred_element_type=jnp.float32)
+            dbb_ref[0] += jnp.sum(dzb.astype(jnp.float32), axis=0)
+        dwa_ref[:] += jnp.dot(xc.T, dza,
+                              preferred_element_type=jnp.float32)
+        dba_ref[0] += jnp.sum(dza.astype(jnp.float32), axis=0)
+
+        # grads w.r.t. the (post-dropout) trunk output: pooling + both gates
+        # (computed in the input dtype — see VMEM note above)
+        dx = (
+            (p.reshape(-1, 1) * gm.reshape(1, -1)).astype(h.dtype)
+            + jnp.dot(dza.astype(xc.dtype), wa_ref[:].T.astype(xc.dtype),
+                      preferred_element_type=jnp.float32).astype(h.dtype)
+        )
+        if gated:
+            dx = dx + jnp.dot(dzb.astype(xc.dtype), wb_ref[:].T.astype(xc.dtype),
+                              preferred_element_type=jnp.float32).astype(h.dtype)
+
+        # trunk backward: dropout -> relu -> matmul
+        if dropout > 0:
+            dx = dx * keep_x * jnp.asarray(scale, jnp.float32).astype(h.dtype)
+        dz = dx * relu_pos
+        dwf_ref[:] += jnp.dot(h.T, dz, preferred_element_type=jnp.float32)
+        dbf_ref[0] += jnp.sum(dz.astype(jnp.float32), axis=0)
+        dh_ref[0] = jnp.dot(dz, wf_ref[:].T.astype(h.dtype),
+                            preferred_element_type=jnp.float32).astype(dh_ref.dtype)
+
+    return kernel
+
+
+def _fused_trunk_fwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed,
+                            gated: bool, dropout: float):
+    b, n, fin = h.shape
+    l1 = wf.shape[1]
+    d = wa.shape[1]
+    m, p, s = pl.pallas_call(
+        _make_fused_trunk_fwd_kernel(gated, dropout),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, fin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fin, l1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, l1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, l1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+        ],
+    )(h, wf, bf.reshape(1, -1), wa, ba.reshape(1, -1), wb, bb.reshape(1, -1),
+      wc.reshape(-1, 1), bc.reshape(1, 1), mask.reshape(b, 1, n),
+      seed.reshape(1, 1))
+    return m[:, 0], p[:, 0], s[:, 0]
+
+
+def _fused_trunk_bwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p,
+                            gm, gp, gs, gated: bool, dropout: float):
+    b, n, fin = h.shape
+    l1 = wf.shape[1]
+    d = wa.shape[1]
+    outs = pl.pallas_call(
+        _make_fused_trunk_bwd_kernel(gated, dropout),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, fin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fin, l1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, fin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fin, l1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, fin), h.dtype),
+            jax.ShapeDtypeStruct((fin, l1), jnp.float32),
+            jax.ShapeDtypeStruct((1, l1), jnp.float32),
+            jax.ShapeDtypeStruct((l1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((l1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+    )(h, wf, bf.reshape(1, -1), wa, ba.reshape(1, -1), wb, bb.reshape(1, -1),
+      wc.reshape(-1, 1), mask.reshape(b, 1, n), seed.reshape(1, 1),
+      p.reshape(b, 1, n), gm.reshape(b, 1, l1), gp.reshape(b, 1, n),
+      gs.reshape(b, 1, n))
+    dh, dwf, dbf, dwa, dba, dwb, dbb, dwc, dbc = outs
+    return dh, dwf, dbf[0], dwa, dba[0], dwb, dbb[0], dwc[:, 0], dbc[0, 0]
+
+
+def _make_fused_trunk_op(gated: bool, dropout: float):
+    @jax.custom_vjp
+    def op(h, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed):
+        return _fused_trunk_fwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, bc,
+                                       mask, seed, gated, dropout)
+
+    def fwd(h, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed):
+        m, p, s = _fused_trunk_fwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, bc,
+                                          mask, seed, gated, dropout)
+        return (m, p, s), (h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p)
+
+    def bwd(res, cot):
+        h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p = res
+        gm, gp, gs = cot
+        dh, dwf, dbf, dwa, dba, dwb, dbb, dwc, dbc = _fused_trunk_bwd_pallas(
+            h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p, gm, gp, gs,
+            gated, dropout,
+        )
+        return dh, dwf, dbf, dwa, dba, dwb, dbb, dwc, dbc, None, None
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+_FUSED_TRUNK_OPS: dict = {}
+
+
+def fused_trunk_attention_pool_xla(h, wf, bf, wa, ba, wb, bb, wc, bc,
+                                   mask=None, gated: bool = True,
+                                   dropout: float = 0.0, seed=None):
+    """XLA golden: trunk (linear+relu+dropout) then attention pooling."""
+    x = jnp.maximum(jnp.einsum("bnf,fl->bnl", h, wf) + bf, 0.0)
+    if dropout > 0 and seed is not None:
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(jnp.asarray(seed, jnp.int32)), 1
+        )
+        x = jnp.where(jax.random.bernoulli(key, 1.0 - dropout, x.shape),
+                      x / (1.0 - dropout), 0.0)
+    return gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask=mask,
+                                    gated=gated, dropout=dropout, seed=seed)
+
+
+def fused_trunk_attention_pool(h, wf, bf, wa, ba, wb, bb, wc, bc, mask=None,
+                               impl: str = "auto", gated: bool = True,
+                               dropout: float = 0.0, seed=None):
+    """CLAM trunk + gated attention pooling in ONE kernel.
+
+    ``h``: raw patch features (B, N, Fin). Returns ``(M (B, L1), p, s)``
+    where ``M`` pools the (dropout-applied) trunk output. Dropout uses the
+    on-chip PRNG (three masks: trunk, gate a, gate b), regenerated exactly
+    in the backward. Reference semantics: ``clam.py:69-77,144,170``.
+    """
+    if mask is None:
+        mask = jnp.ones(h.shape[:2], dtype=bool)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        key = (gated, float(dropout))
+        if key not in _FUSED_TRUNK_OPS:
+            _FUSED_TRUNK_OPS[key] = _make_fused_trunk_op(gated, float(dropout))
+        if seed is None:
+            seed = jnp.zeros((), jnp.int32)
+        return _FUSED_TRUNK_OPS[key](
+            h, wf, bf, wa, ba, wb, bb, wc,
+            jnp.asarray(bc, jnp.float32).reshape(()), mask,
+            jnp.asarray(seed, jnp.int32),
+        )
+    return fused_trunk_attention_pool_xla(h, wf, bf, wa, ba, wb, bb, wc, bc,
+                                          mask=mask, gated=gated,
+                                          dropout=dropout, seed=seed)
+
+
+# ---------------------------------------------------------------------------
 # Tiled kernel for bags too large for VMEM (full-slide heatmap attention)
 # ---------------------------------------------------------------------------
 def _make_tiled_fwd_kernel(gated: bool, n_tiles: int):

@@ -113,6 +113,72 @@ def test_dropout_grads_finite(inputs):
     assert np.isfinite(g).all() and np.abs(g).max() > 0
 
 
+# ------------------------------------------------------ fused trunk kernel --
+@pytest.fixture()
+def trunk_inputs(rng):
+    fin, l1, d = 8, 16, 4
+    h = jnp.asarray(rng.normal(size=(B, N, fin)).astype(np.float32))
+    wf = jnp.asarray(rng.normal(size=(fin, l1)).astype(np.float32) * 0.3)
+    bf = jnp.asarray(rng.normal(size=(l1,)).astype(np.float32) * 0.1)
+    wa = jnp.asarray(rng.normal(size=(l1, d)).astype(np.float32) * 0.3)
+    ba = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+    wb = jnp.asarray(rng.normal(size=(l1, d)).astype(np.float32) * 0.3)
+    bb = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+    wc = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.3)
+    bc = jnp.float32(0.05)
+    mask = jnp.asarray(np.arange(N)[None, :] < np.array([16, 10, 5])[:, None])
+    return h, wf, bf, wa, ba, wb, bb, wc, bc, mask
+
+
+@pytest.mark.parametrize("gated", [True, False])
+def test_fused_trunk_matches_xla(trunk_inputs, gated):
+    h, wf, bf, wa, ba, wb, bb, wc, bc, mask = trunk_inputs
+    want = gap.fused_trunk_attention_pool_xla(
+        h, wf, bf, wa, ba, wb, bb, wc, bc, mask=mask, gated=gated)
+    got = gap.fused_trunk_attention_pool(
+        h, wf, bf, wa, ba, wb, bb, wc, bc, mask=mask, impl="pallas",
+        gated=gated)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
+
+
+def test_fused_trunk_grads_match_xla(trunk_inputs):
+    h, wf, bf, wa, ba, wb, bb, wc, bc, mask = trunk_inputs
+    args = (h, wf, bf, wa, ba, wb, bb, wc, bc)
+
+    def loss(impl):
+        def f(*a):
+            m, p, s = gap.fused_trunk_attention_pool(
+                *a, mask=mask, impl=impl, gated=True)
+            return jnp.sum(m * m) + jnp.sum(jnp.sin(p)) + 0.1 * jnp.sum(jnp.cos(s))
+        return f
+
+    g_xla = jax.grad(loss("xla"), argnums=tuple(range(9)))(*args)
+    g_pal = jax.grad(loss("pallas"), argnums=tuple(range(9)))(*args)
+    names = ["h", "wf", "bf", "wa", "ba", "wb", "bb", "wc", "bc"]
+    for name, a, b in zip(names, g_xla, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(b).reshape(np.asarray(a).shape), np.asarray(a),
+            atol=3e-5, err_msg=name,
+        )
+
+
+def test_clam_fused_path_matches_unfused(rng):
+    """CLAM with the fused trunk route == the unfused XLA trunk route."""
+    from murcl_tpu.models import CLAM_SB
+
+    fin = 8
+    h = jnp.asarray(rng.normal(size=(2, N, fin)).astype(np.float32))
+    m_fused = CLAM_SB(in_dim=fin, k_sample=4, n_classes=2, attn_impl="pallas")
+    m_xla = CLAM_SB(in_dim=fin, k_sample=4, n_classes=2, attn_impl="xla")
+    params = m_xla.init(jax.random.PRNGKey(0), h)
+    got, aux_g = m_fused.apply(params, h)
+    want, aux_w = m_xla.apply(params, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux_g["attention"]),
+                               np.asarray(aux_w["attention"]), atol=1e-5)
+
+
 # ------------------------------------------------------------- tiled kernel --
 def test_tiled_forward_matches_xla(rng):
     """Streaming online-softmax kernel == XLA reference on a multi-tile bag."""
