@@ -71,10 +71,15 @@ def measure_ours(steps: int = 10, warmup: int = 2) -> float:
         arch_setting={"gate": True, "dropout": 0.25, "k_sample": 8, "subtyping": True},
     )
     fc = FullLayer(feature_num=feature_num, hidden_state_dim=1024, class_num=128)
+    # remat="none": CLAM's fused trunk+attention kernel keeps no big XLA
+    # intermediates (its custom VJP recomputes in-kernel from the saved
+    # sub-bag), so the rollout-step replay is pure waste — saved residuals
+    # are ~270 MB/step x 12 steps, well within 16 GB HBM
     cfg = PretrainConfig(arch="CLAM_SB", T=T, feat_size=FEAT_SIZE, num_clusters=K,
                          max_patches=bank.max_patches, train_stage=1,
                          temperature=0.5, alpha=0.9, batch_size=BATCH,
-                         compute_dtype=dtype)
+                         compute_dtype=dtype,
+                         remat=os.environ.get("MURCL_BENCH_REMAT", "none"))
     engine = ContrastiveEngine(cfg, model, fc, tx=optax.adam(1e-4))
 
     rng = jax.random.PRNGKey(0)

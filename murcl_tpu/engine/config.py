@@ -31,6 +31,15 @@ class RolloutConfig:
     # bfloat16 feeds the MXU at full rate (f32 runs at ~1/4 peak on v5e)
     compute_dtype: str = "float32"  # float32 | bfloat16
 
+    # rollout-step rematerialization. "save_subbag": recompute each step's
+    # aggregator activations in the backward, keeping only the selected
+    # sub-bag (needed when XLA materializes the (B, N, 512) trunk/gate
+    # tensors — unfused paths OOM 16 GB HBM at the canonical shape).
+    # "none": save everything — correct choice for CLAM's fused
+    # trunk+attention kernel, whose custom VJP keeps no big XLA
+    # intermediates; skips one full forward replay per rollout step.
+    remat: str = "save_subbag"  # save_subbag | none
+
     @property
     def uses_policy(self) -> bool:
         return self.train_stage != 1

@@ -107,7 +107,12 @@ class ContrastiveEngine:
 
         both_ids = jnp.concatenate([slide_ids, slide_ids])
 
-        @partial(jax.checkpoint, policy=policy, static_argnums=(4,))
+        def _maybe_remat(fn):
+            if cfg.remat == "none":
+                return fn
+            return partial(jax.checkpoint, policy=policy, static_argnums=(4,))(fn)
+
+        @_maybe_remat
         def pair_forward(actions_a, actions_b, fc_carry, rng_t, restart: bool):
             """Both views through ONE aggregator forward of (2B, F, D).
 

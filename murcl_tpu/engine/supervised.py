@@ -171,7 +171,12 @@ class SupervisedEngine:
 
         _policy = jax.checkpoint_policies.save_only_these_names("subbag")
 
-        @_partial(jax.checkpoint, policy=_policy)
+        def _maybe_remat(fn):
+            if cfg.remat == "none":
+                return fn
+            return _partial(jax.checkpoint, policy=_policy)(fn)
+
+        @_maybe_remat
         def forward(actions, fc_carry, rngd):
             feats = checkpoint_name(select(actions).astype(self._cdtype), "subbag")
             fc_in, extra = self._arch_forward(mp, feats, labels, valid, train, rngd)

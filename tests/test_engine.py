@@ -193,3 +193,54 @@ def test_pretrain_loss_decreases_stage1(small_bank):
         agg, _, stats = engine.train_step(agg, None, bank, ids, jax.random.PRNGKey(step))
         losses.append(float(stats.loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_remat_none_matches_save_subbag(small_bank):
+    """remat='none' is a pure memory/speed knob: identical losses and
+    updated params to the default save-subbag rematerialization, for both
+    engines (the backward recomputes the same math either way)."""
+    bank_arrays = BankArrays.from_bank(small_bank)
+    ids = jnp.arange(B, dtype=jnp.int32)
+    lab = jnp.asarray([0, 1, 0, 1], jnp.int32)
+
+    def run_supervised(remat):
+        model, feat_dim = build_aggregator(
+            "CLAM_SB", dim_in=DIM, arch_setting={"k_sample": 3})
+        fc = FullLayer(feature_num=feat_dim, hidden_state_dim=16, class_num=2)
+        cfg = RolloutConfig(arch="CLAM_SB", T=T, feat_size=F, num_clusters=K,
+                            max_patches=small_bank.max_patches, train_stage=1,
+                            remat=remat)
+        eng = SupervisedEngine(cfg, model, fc, tx=optax.adam(1e-3))
+        params = eng.init_params(jax.random.PRNGKey(0), jnp.zeros((B, F, DIM)),
+                                 jnp.zeros((B,), jnp.int32))
+        agg = eng.init_state(params)
+        agg, _, stats = eng.train_step(agg, None, bank_arrays, ids, lab,
+                                       jax.random.PRNGKey(5))
+        return float(stats.loss), agg.params
+
+    def run_contrastive(remat):
+        model, feat_dim = build_aggregator(
+            "ABMIL", dim_in=DIM, arch_setting={"L": 32, "D": 8})
+        fc = FullLayer(feature_num=feat_dim, hidden_state_dim=16, class_num=8)
+        cfg = PretrainConfig(arch="ABMIL", T=T, feat_size=F, num_clusters=K,
+                             max_patches=small_bank.max_patches, train_stage=1,
+                             batch_size=B, remat=remat)
+        eng = ContrastiveEngine(cfg, model, fc, tx=optax.adam(1e-3))
+        params = eng.init_params(jax.random.PRNGKey(0), jnp.zeros((B, F, DIM)))
+        agg = eng.init_state(params)
+        agg, _, stats = eng.train_step(agg, None, bank_arrays, ids,
+                                       jax.random.PRNGKey(6))
+        return float(stats.loss), agg.params
+
+    for runner in (run_supervised, run_contrastive):
+        loss_a, params_a = runner("save_subbag")
+        loss_b, params_b = runner("none")
+        np.testing.assert_allclose(loss_a, loss_b, rtol=1e-6)
+        # the two programs fuse differently, so reduction order shifts by
+        # ulps; Adam's sqrt(v)+eps denominator amplifies that on a handful
+        # of elements, and the attention score bias has a ~0 gradient
+        # (softmax shift invariance) that is pure noise in relative terms
+        for xa, xb in zip(jax.tree_util.tree_leaves(params_a),
+                          jax.tree_util.tree_leaves(params_b)):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                       rtol=1e-4, atol=5e-5)
