@@ -79,7 +79,9 @@ def measure_ours(steps: int = 10, warmup: int = 2) -> float:
                          max_patches=bank.max_patches, train_stage=1,
                          temperature=0.5, alpha=0.9, batch_size=BATCH,
                          compute_dtype=dtype,
-                         remat=os.environ.get("MURCL_BENCH_REMAT", "none"))
+                         remat=os.environ.get("MURCL_BENCH_REMAT", "none"),
+                         stage1_layout=os.environ.get("MURCL_BENCH_LAYOUT",
+                                                      "batched"))
     engine = ContrastiveEngine(cfg, model, fc, tx=optax.adam(1e-4))
 
     rng = jax.random.PRNGKey(0)

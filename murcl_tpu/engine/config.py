@@ -40,6 +40,16 @@ class RolloutConfig:
     # intermediates; skips one full forward replay per rollout step.
     remat: str = "save_subbag"  # save_subbag | none
 
+    # stage-1 rollout layout. Stage 1 draws every action uniformly at
+    # random (train_MuRCL.py:235-236,256-258; train_RLMIL.py:347), so no
+    # step's selection depends on an earlier step: "batched" folds all T
+    # steps' selection + mixup + aggregator forwards into ONE (T*2B, N, D)
+    # program (one big kernel grid instead of T sequential launches; only
+    # the GRU head scans). "sequential" keeps the stage-2/3 scan shape.
+    # Stages with a policy are always sequential (actions depend on the
+    # previous step's encoder state).
+    stage1_layout: str = "batched"  # batched | sequential
+
     @property
     def uses_policy(self) -> bool:
         return self.train_stage != 1

@@ -90,6 +90,108 @@ class ContrastiveEngine:
 
     def _rollout(self, params, ppo_old_params, bank: BankArrays, slide_ids,
                  rng, train: bool):
+        if not self.cfg.uses_policy and self.cfg.stage1_layout == "batched":
+            return self._rollout_batched(params, bank, slide_ids, rng, train)
+        return self._rollout_sequential(
+            params, ppo_old_params, bank, slide_ids, rng, train
+        )
+
+    def _rollout_batched(self, params, bank: BankArrays, slide_ids, rng,
+                         train: bool, actions=None):
+        """Stage-1 rollout with all T steps' heavy compute in ONE batch.
+
+        Stage 1's actions are all uniform random (``train_MuRCL.py:235-236,
+        256-258``), so selection/mixup/encode for every step and view batch
+        into a single ``(T*2B, feat_size, D)`` program; only the GRU head
+        (whose carry interleaves across views and steps — see module
+        docstring) and the per-step NT-Xent remain sequential. Identical
+        math to the sequential layout, one kernel grid instead of T.
+
+        ``actions`` (T, 2, B, K) overrides the random draw (parity tests).
+        """
+        cfg = self.cfg
+        b = slide_ids.shape[0]
+        t_steps = cfg.T
+        mp, fcp = params["model"], params["fc"]
+        from jax.ad_checkpoint import checkpoint_name
+
+        rng, r_act, r_mix, r_drop = jax.random.split(rng, 4)
+        if actions is None:
+            actions = jax.random.uniform(
+                r_act, (t_steps, 2, b, cfg.num_clusters)
+            )
+
+        both_ids = jnp.concatenate([slide_ids, slide_ids])
+        x = select_feats(
+            bank.feats, jnp.tile(both_ids, t_steps), bank.offsets,
+            bank.num_patches, bank.cluster_tables, bank.cluster_sizes,
+            actions.reshape(t_steps * 2 * b, cfg.num_clusters),
+            feat_size=cfg.feat_size, max_patches=cfg.max_patches,
+        ).reshape(t_steps, 2, b, cfg.feat_size, -1)
+
+        # mixup permutes within each (step, view) batch separately
+        mix_keys = jax.random.split(r_mix, t_steps * 2).reshape(t_steps, 2, -1)
+        mixed = jax.vmap(jax.vmap(
+            lambda k, xi: mixup(k, xi, cfg.alpha)[0]
+        ))(mix_keys, x)
+
+        def encode_all(mixed_in):
+            x2 = checkpoint_name(
+                mixed_in.reshape(t_steps * 2 * b, cfg.feat_size, -1)
+                .astype(self._cdtype),
+                "subbag",
+            )
+            return self._encode(mp, x2, train, r_drop)
+
+        if cfg.remat != "none":
+            policy = jax.checkpoint_policies.save_only_these_names("subbag")
+            encode_all = jax.checkpoint(encode_all, policy=policy)
+
+        emb_flat, state_flat = encode_all(mixed)
+        emb = emb_flat.reshape(t_steps, 2, b, -1)
+        states = state_flat.reshape(t_steps, 2, b, -1)
+
+        # GRU head: sequential by construction (shared carry, view0 -> view1
+        # per step; t=0 restarts each view from zeros and keeps view 1's)
+        proj0_a, _ = self.fc.apply(fcp, emb[0, 0], None)
+        proj0_b, carry = self.fc.apply(fcp, emb[0, 1], None)
+
+        def fc_step(c, e):
+            pa, c_mid = self.fc.apply(fcp, e[0], c)
+            pb, c_new = self.fc.apply(fcp, e[1], c_mid)
+            return c_new, (pa, pb)
+
+        _, (pas, pbs) = jax.lax.scan(fc_step, carry, emb[1:])
+        proj_a = jnp.concatenate([proj0_a[None], pas])  # (T, b, C)
+        proj_b = jnp.concatenate([proj0_b[None], pbs])
+
+        step_losses = jnp.stack(
+            [nt_xent(proj_a[t], proj_b[t], cfg.temperature)
+             for t in range(t_steps)]
+        )
+        total = jnp.sum(step_losses) / t_steps
+
+        sims = jax.vmap(cosine_similarity)(
+            jax.lax.stop_gradient(proj_a), jax.lax.stop_gradient(proj_b)
+        )  # (T, b)
+        rewards = sims[:-1] - sims[1:]  # (T-1, b)
+
+        # stage-1 rollout buffers (unused downstream, shape-compatible):
+        # step t's recorded state is the PREVIOUS step's encoder state
+        zero_lp = jnp.zeros((t_steps - 1, b))
+        rollouts = tuple(
+            Rollout(states=states[:-1, v], actions=actions[1:, v],
+                    logprobs=zero_lp, rewards=rewards)
+            for v in (0, 1)
+        )
+        stats = PretrainStats(
+            loss=total, step_losses=step_losses,
+            rewards=jnp.mean(rewards, axis=1),
+        )
+        return total, (stats, rollouts)
+
+    def _rollout_sequential(self, params, ppo_old_params, bank: BankArrays,
+                            slide_ids, rng, train: bool):
         cfg = self.cfg
         b = slide_ids.shape[0]
         mp, fcp = params["model"], params["fc"]

@@ -118,29 +118,41 @@ class SupervisedEngine:
         return AggTrainState(params=params, opt_state=opt_state)
 
     # ------------------------------------------------------- arch adapter --
-    def _arch_forward(self, model_params, feats, labels, valid, train, rng):
-        """Returns ``(fc_in (B, F), extra_step_loss scalar)`` per arch."""
+    def _arch_forward_raw(self, model_params, feats, labels, train, rng):
+        """Returns ``(fc_in (B, F), extra_per_sample (B,))`` per arch.
+
+        ``extra_per_sample`` carries the arch's auxiliary step loss
+        pre-reduction (weighted), so callers can reduce over any grouping
+        (per step in the batched stage-1 layout): its ``masked_mean`` over
+        the batch equals the sequential path's scalar extra exactly.
+        """
         cfg = self.cfg
         feats = feats.astype(self._cdtype)
         rngs = {"dropout": rng} if train else None
         if cfg.arch == "ABMIL":
             out, _aux = self.model.apply(model_params, feats, train=train, rngs=rngs)
-            return out.astype(jnp.float32), jnp.float32(0.0)
+            return out.astype(jnp.float32), jnp.zeros(feats.shape[0], jnp.float32)
         if cfg.arch == "CLAM_SB":
             m, aux = self.model.apply(
                 model_params, feats, labels, True, train=train, rngs=rngs
             )
-            extra = (1.0 - cfg.bag_weight) * masked_mean(
-                aux["instance_loss"].astype(jnp.float32), valid
-            )
+            extra = (1.0 - cfg.bag_weight) * aux["instance_loss"].astype(jnp.float32)
             return m.astype(jnp.float32), extra
         if cfg.arch == "DSMIL":
             inst, bag, _aux = self.model.apply(model_params, feats, train=train, rngs=rngs)
             fc_in = jnp.mean(bag, axis=1).astype(jnp.float32)
             inst_max = jnp.max(inst, axis=1).astype(jnp.float32)
-            extra = 0.5 * cross_entropy(inst_max, labels, valid)
-            return fc_in, extra
+            logp = jax.nn.log_softmax(inst_max, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+            return fc_in, 0.5 * nll
         raise ValueError(f"unknown arch {self.cfg.arch!r}")
+
+    def _arch_forward(self, model_params, feats, labels, valid, train, rng):
+        """Returns ``(fc_in (B, F), extra_step_loss scalar)`` per arch."""
+        fc_in, extra_per = self._arch_forward_raw(
+            model_params, feats, labels, train, rng
+        )
+        return fc_in, masked_mean(extra_per, valid)
 
     @property
     def _ce_weight(self) -> float:
@@ -150,6 +162,102 @@ class SupervisedEngine:
     def _rollout(self, params, ppo_old_params, bank: BankArrays, slide_ids,
                  labels, valid, rng, train: bool):
         """The full T-step program. Returns ``(loss, (stats, rollout))``."""
+        if not self.cfg.uses_policy and self.cfg.stage1_layout == "batched":
+            return self._rollout_batched(
+                params, bank, slide_ids, labels, valid, rng, train
+            )
+        return self._rollout_sequential(
+            params, ppo_old_params, bank, slide_ids, labels, valid, rng, train
+        )
+
+    def _rollout_batched(self, params, bank: BankArrays, slide_ids, labels,
+                         valid, rng, train: bool, actions=None):
+        """Stage-1 rollout with all T steps' heavy compute in ONE batch.
+
+        Stage 1 draws every action uniformly at random
+        (``train_RLMIL.py:347``), so selection and the aggregator forward
+        batch over ``(T*B)``; only the GRU head scans. Identical math to
+        the sequential layout (per-step CE + per-step reduced arch extras;
+        the ``train_model_prime`` gate stops every t=0 gradient exactly as
+        the reference's no-grad prime forward, ``train_RLMIL.py:719-725``).
+
+        ``actions`` (T, B, K) overrides the random draw (tests).
+        """
+        cfg = self.cfg
+        b = slide_ids.shape[0]
+        t_steps = cfg.T
+        mp, fcp = params["model"], params["fc"]
+        from jax.ad_checkpoint import checkpoint_name
+
+        rng, r_act, r_drop = jax.random.split(rng, 3)
+        if actions is None:
+            actions = jax.random.uniform(r_act, (t_steps, b, cfg.num_clusters))
+
+        x = select_feats(
+            bank.feats, jnp.tile(slide_ids, t_steps), bank.offsets,
+            bank.num_patches, bank.cluster_tables, bank.cluster_sizes,
+            actions.reshape(t_steps * b, cfg.num_clusters),
+            feat_size=cfg.feat_size, max_patches=cfg.max_patches,
+        )
+        labels_t = jnp.tile(labels, t_steps)
+
+        def encode_all(x_flat):
+            feats = checkpoint_name(x_flat.astype(self._cdtype), "subbag")
+            return self._arch_forward_raw(mp, feats, labels_t, train, r_drop)
+
+        if cfg.remat != "none":
+            policy = jax.checkpoint_policies.save_only_these_names("subbag")
+            encode_all = jax.checkpoint(encode_all, policy=policy)
+
+        fc_in_flat, extra_flat = encode_all(x)
+        fc_in = fc_in_flat.reshape(t_steps, b, -1)
+        extra_step = jax.vmap(lambda e: masked_mean(e, valid))(
+            extra_flat.reshape(t_steps, b)
+        )
+
+        prime_nograd = cfg.arch == "ABMIL" and not cfg.train_model_prime
+        fc_in0 = jax.lax.stop_gradient(fc_in[0]) if prime_nograd else fc_in[0]
+        logits0, fc_carry = self.fc.apply(fcp, fc_in0, None)
+        if prime_nograd:
+            logits0 = jax.lax.stop_gradient(logits0)
+            fc_carry = jax.lax.stop_gradient(fc_carry)
+
+        def fc_step(c, e):
+            lg, c2 = self.fc.apply(fcp, e, c)
+            return c2, lg
+
+        _, logits_t = jax.lax.scan(fc_step, fc_carry, fc_in[1:])
+        logits_all = jnp.concatenate([logits0[None], logits_t])  # (T, B, C)
+
+        step_ce = jax.vmap(lambda lg: cross_entropy(lg, labels, valid))(
+            logits_all
+        )
+        step_losses = self._ce_weight * step_ce + extra_step
+        if prime_nograd:
+            # extras are zero for ABMIL; CE0 is constant like the reference
+            step_losses = jnp.concatenate(
+                [jax.lax.stop_gradient(step_losses[:1]), step_losses[1:]]
+            )
+        total = jnp.sum(step_losses) / t_steps
+
+        conf = jax.vmap(label_confidence)(
+            jax.lax.stop_gradient(logits_all), jnp.broadcast_to(labels, (t_steps, b))
+        )  # (T, B)
+        rewards = conf[1:] - conf[:-1]
+
+        states = jax.lax.stop_gradient(fc_in)
+        rollout = Rollout(
+            states=states[:-1], actions=actions[1:],
+            logprobs=jnp.zeros((t_steps - 1, b)), rewards=rewards,
+        )
+        stats = StepStats(
+            loss=total, step_losses=step_losses,
+            rewards=jnp.mean(rewards, axis=1), logits=logits_all[-1],
+        )
+        return total, (stats, rollout)
+
+    def _rollout_sequential(self, params, ppo_old_params, bank: BankArrays,
+                            slide_ids, labels, valid, rng, train: bool):
         cfg = self.cfg
         b = slide_ids.shape[0]
         mp, fcp = params["model"], params["fc"]

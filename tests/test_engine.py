@@ -244,3 +244,201 @@ def test_remat_none_matches_save_subbag(small_bank):
                           jax.tree_util.tree_leaves(params_b)):
             np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
                                        rtol=1e-4, atol=5e-5)
+
+
+def test_stage1_batched_rollout_matches_sequential_math(small_bank):
+    """The batched stage-1 layout is the same math as a manual per-step
+    loop: identical per-step NT-Xent losses, rewards, and rollout arrays
+    when actions are fixed and mixup/dropout are identity (alpha=1,
+    train=False)."""
+    from murcl_tpu.ops.ntxent import nt_xent as nt_xent_plain
+    from murcl_tpu.ops.select import select_feats
+
+    model, feat_dim = build_aggregator(
+        "ABMIL", dim_in=DIM, arch_setting={"L": 32, "D": 8})
+    fc = FullLayer(feature_num=feat_dim, hidden_state_dim=16, class_num=8)
+    cfg = PretrainConfig(
+        arch="ABMIL", T=T, feat_size=F, num_clusters=K,
+        max_patches=small_bank.max_patches, train_stage=1, alpha=1.0,
+        temperature=0.5, batch_size=B, stage1_layout="batched",
+    )
+    engine = ContrastiveEngine(cfg, model, fc, tx=optax.adam(1e-3))
+    params = engine.init_params(jax.random.PRNGKey(0), jnp.zeros((B, F, DIM)))
+    bank = BankArrays.from_bank(small_bank)
+    ids = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    actions = jax.random.uniform(jax.random.PRNGKey(7), (T, 2, B, K))
+
+    total, (stats, rollouts) = engine._rollout_batched(
+        params, bank, ids, jax.random.PRNGKey(3), train=False, actions=actions
+    )
+
+    # manual loop mirroring the engine's sequential order
+    def cos(a, b):
+        na = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+        nb = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+        return jnp.sum(na * nb, axis=-1)
+
+    mp, fcp = params["model"], params["fc"]
+    fc_carry = None
+    losses, sims, states_seq = [], [], []
+    for t in range(T):
+        x2 = select_feats(
+            bank.feats, jnp.concatenate([ids, ids]), bank.offsets,
+            bank.num_patches, bank.cluster_tables, bank.cluster_sizes,
+            jnp.concatenate([actions[t, 0], actions[t, 1]]),
+            feat_size=F, max_patches=small_bank.max_patches,
+        )
+        emb, state = engine._encode(mp, x2, False, jax.random.PRNGKey(0))
+        emb_a, emb_b = emb[:B], emb[B:]
+        states_seq.append((state[:B], state[B:]))
+        if t == 0:
+            proj_a, _ = fc.apply(fcp, emb_a, None)
+            proj_b, fc_carry = fc.apply(fcp, emb_b, None)
+        else:
+            proj_a, c_mid = fc.apply(fcp, emb_a, fc_carry)
+            proj_b, fc_carry = fc.apply(fcp, emb_b, c_mid)
+        losses.append(float(nt_xent_plain(proj_a, proj_b, 0.5)))
+        sims.append(np.asarray(cos(proj_a, proj_b)))
+
+    np.testing.assert_allclose(np.asarray(stats.step_losses), losses, rtol=1e-5)
+    np.testing.assert_allclose(float(total), np.mean(losses), rtol=1e-5)
+    manual_rewards = np.stack([sims[t - 1] - sims[t] for t in range(1, T)])
+    for v in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(rollouts[v].rewards), manual_rewards, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(rollouts[v].states),
+            np.stack([np.asarray(states_seq[t][v]) for t in range(T - 1)]),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rollouts[v].actions), np.asarray(actions[1:, v]),
+            rtol=1e-6,
+        )
+
+
+def test_stage1_layouts_both_train(small_bank):
+    """Both stage-1 layouts run end-to-end through train_step and learn."""
+    bank = BankArrays.from_bank(small_bank)
+    ids = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    for layout in ("batched", "sequential"):
+        model, feat_dim = build_aggregator(
+            "ABMIL", dim_in=DIM, arch_setting={"L": 32, "D": 8})
+        fc = FullLayer(feature_num=feat_dim, hidden_state_dim=16, class_num=8)
+        cfg = PretrainConfig(
+            arch="ABMIL", T=T, feat_size=F, num_clusters=K,
+            max_patches=small_bank.max_patches, train_stage=1,
+            batch_size=B, stage1_layout=layout,
+        )
+        engine = ContrastiveEngine(cfg, model, fc, tx=optax.adam(3e-3))
+        params = engine.init_params(jax.random.PRNGKey(0), jnp.zeros((B, F, DIM)))
+        agg = engine.init_state(params)
+        losses = []
+        for step in range(8):
+            agg, _, stats = engine.train_step(
+                agg, None, bank, ids, jax.random.PRNGKey(step))
+            losses.append(float(stats.loss))
+        assert np.all(np.isfinite(losses)), (layout, losses)
+        assert losses[-1] < losses[0], (layout, losses)
+
+
+@pytest.mark.parametrize("arch", ["ABMIL", "CLAM_SB", "DSMIL"])
+def test_supervised_batched_rollout_matches_manual(arch, small_bank):
+    """The supervised batched stage-1 layout reproduces the sequential
+    math exactly (fixed actions, train=False): per-step losses, rewards,
+    final logits, and rollout arrays."""
+    from murcl_tpu.engine.losses import cross_entropy, label_confidence
+    from murcl_tpu.ops.select import select_feats
+
+    engine, _, feat_dim = _make_engine(arch, 1, small_bank)
+    params = engine.init_params(
+        jax.random.PRNGKey(0), jnp.zeros((B, F, DIM)), jnp.zeros((B,), jnp.int32))
+    bank = BankArrays.from_bank(small_bank)
+    ids = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    labels = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    valid = jnp.ones((B,), bool)
+    actions = jax.random.uniform(jax.random.PRNGKey(9), (T, B, K))
+
+    total, (stats, rollout) = engine._rollout_batched(
+        params, bank, ids, labels, valid, jax.random.PRNGKey(3), train=False,
+        actions=actions)
+
+    mp, fcp = params["model"], params["fc"]
+    fc_carry, losses, confs, states_seq = None, [], [], []
+    for t in range(T):
+        x = select_feats(
+            bank.feats, ids, bank.offsets, bank.num_patches,
+            bank.cluster_tables, bank.cluster_sizes, actions[t],
+            feat_size=F, max_patches=small_bank.max_patches)
+        fc_in, extra = engine._arch_forward(
+            mp, x, labels, valid, False, jax.random.PRNGKey(0))
+        states_seq.append(np.asarray(fc_in))
+        logits, fc_carry = engine.fc.apply(fcp, fc_in, fc_carry)
+        losses.append(float(
+            engine._ce_weight * cross_entropy(logits, labels, valid) + extra))
+        confs.append(np.asarray(label_confidence(logits, labels)))
+
+    np.testing.assert_allclose(np.asarray(stats.step_losses), losses, rtol=2e-5)
+    np.testing.assert_allclose(float(total), np.mean(losses), rtol=2e-5)
+    manual_rewards = np.stack([confs[t] - confs[t - 1] for t in range(1, T)])
+    np.testing.assert_allclose(np.asarray(rollout.rewards), manual_rewards,
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(rollout.states), np.stack(states_seq[:-1]), rtol=2e-5)
+
+
+def test_supervised_batched_prime_gate_stops_t0_grads(small_bank):
+    """With ``train_model_prime=False`` (ABMIL, train_RLMIL.py:719-725) the
+    batched layout's t=0 forward contributes zero gradient: grads must
+    equal a manual loop that omits the t=0 loss term and carries a
+    stop-gradient hidden state."""
+    from murcl_tpu.engine.losses import cross_entropy
+    from murcl_tpu.ops.select import select_feats
+
+    model, feat_dim = build_aggregator(
+        "ABMIL", dim_in=DIM, arch_setting={"L": 32, "D": 8})
+    fc = FullLayer(feature_num=feat_dim, hidden_state_dim=16, class_num=2)
+    cfg = RolloutConfig(
+        arch="ABMIL", T=T, feat_size=F, num_clusters=K,
+        max_patches=small_bank.max_patches, train_stage=1,
+        train_model_prime=False)
+    engine = SupervisedEngine(cfg, model, fc, tx=optax.adam(1e-3))
+    params = engine.init_params(
+        jax.random.PRNGKey(0), jnp.zeros((B, F, DIM)), jnp.zeros((B,), jnp.int32))
+    bank = BankArrays.from_bank(small_bank)
+    ids = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    labels = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    valid = jnp.ones((B,), bool)
+    actions = jax.random.uniform(jax.random.PRNGKey(11), (T, B, K))
+
+    def batched_loss(p):
+        total, _ = engine._rollout_batched(
+            p, bank, ids, labels, valid, jax.random.PRNGKey(3), train=False,
+            actions=actions)
+        return total
+
+    def manual_loss(p):
+        mp, fcp = p["model"], p["fc"]
+        fc_carry, losses = None, []
+        for t in range(T):
+            x = select_feats(
+                bank.feats, ids, bank.offsets, bank.num_patches,
+                bank.cluster_tables, bank.cluster_sizes, actions[t],
+                feat_size=F, max_patches=small_bank.max_patches)
+            fc_in, _ = engine._arch_forward(
+                mp, x, labels, valid, False, jax.random.PRNGKey(0))
+            logits, fc_carry = engine.fc.apply(fcp, fc_in, fc_carry)
+            step = cross_entropy(logits, labels, valid)
+            if t == 0:
+                step = jax.lax.stop_gradient(step)
+                logits = jax.lax.stop_gradient(logits)
+                fc_carry = jax.lax.stop_gradient(fc_carry)
+            losses.append(step)
+        return sum(losses) / T
+
+    va, ga = jax.value_and_grad(batched_loss)(params)
+    vb, gb = jax.value_and_grad(manual_loss)(params)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
