@@ -28,6 +28,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _patch_cluster_pos(
+    cluster_lists: List[List[int]], n_max: int
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-patch inverse of the cluster tables: ``(cluster_id, pos)``.
+
+    ``pos`` is the patch's position within its cluster's (k-means-order)
+    index list; padding rows carry ``pos = -1`` (never selected). These
+    arrays let sub-bag selection test window membership per patch directly
+    — a gather — instead of scattering cluster windows into a flag array
+    (XLA lowers TPU scatters via sort + sequential segment ops, which
+    dominated the train step; see ops/select.py).
+    """
+    cid = np.zeros((n_max,), np.int32)
+    pos = np.full((n_max,), -1, np.int32)
+    for k, cluster in enumerate(cluster_lists):
+        if cluster:
+            idxs = np.asarray(cluster, dtype=np.int64)
+            cid[idxs] = k
+            pos[idxs] = np.arange(len(cluster), dtype=np.int32)
+    return cid, pos
+
+
 @dataclass
 class SlideRecord:
     """Host-side metadata for one slide (one row of the manifest)."""
@@ -64,6 +86,10 @@ class FeatureBank:
     case_ids: List[str] = field(default_factory=list)
     num_clusters: int = 0
     max_patches: int = 0  # static Nmax used for selection scratch shapes
+    # per-patch (cluster_id, pos-in-cluster) — the scatter-free selection
+    # path's inputs (see _patch_cluster_pos); ``(S, Nmax)`` int32 each
+    patch_cluster: Optional[np.ndarray] = None
+    patch_pos: Optional[np.ndarray] = None
 
     @property
     def num_slides(self) -> int:
@@ -87,9 +113,15 @@ class FeatureBank:
             cluster_tables=jax.device_put(jnp.asarray(self.cluster_tables)),
             cluster_sizes=jax.device_put(jnp.asarray(self.cluster_sizes)),
             labels=jax.device_put(jnp.asarray(self.labels)),
+            patch_cluster=(None if self.patch_cluster is None
+                           else jax.device_put(jnp.asarray(self.patch_cluster))),
+            patch_pos=(None if self.patch_pos is None
+                       else jax.device_put(jnp.asarray(self.patch_pos))),
         )
 
     def nbytes(self) -> int:
+        extra = sum(a.nbytes for a in (self.patch_cluster, self.patch_pos)
+                    if a is not None)
         return int(
             self.feats.nbytes
             + self.cluster_tables.nbytes
@@ -97,6 +129,7 @@ class FeatureBank:
             + self.offsets.nbytes
             + self.num_patches.nbytes
             + self.labels.nbytes
+            + extra
         )
 
 
@@ -156,11 +189,14 @@ def build_bank(
     s = len(records)
     tables = np.zeros((s, num_clusters, c_max), dtype=np.int32)
     sizes = np.zeros((s, num_clusters), dtype=np.int32)
+    pcid = np.zeros((s, n_max), dtype=np.int32)
+    ppos = np.full((s, n_max), -1, dtype=np.int32)
     for i, r in enumerate(records):
         for k, cluster in enumerate(r.cluster_lists):
             sizes[i, k] = len(cluster)
             if cluster:
                 tables[i, k, : len(cluster)] = np.asarray(cluster, dtype=np.int32)
+        pcid[i], ppos[i] = _patch_cluster_pos(r.cluster_lists, n_max)
 
     return FeatureBank(
         feats=feats,
@@ -172,6 +208,8 @@ def build_bank(
         case_ids=case_ids,
         num_clusters=num_clusters,
         max_patches=n_max,
+        patch_cluster=pcid,
+        patch_pos=ppos,
     )
 
 
@@ -200,11 +238,14 @@ def bank_from_arrays(
     s = len(labels)
     tables = np.zeros((s, num_clusters, c_max), dtype=np.int32)
     sizes = np.zeros((s, num_clusters), dtype=np.int32)
+    pcid = np.zeros((s, n_max), dtype=np.int32)
+    ppos = np.full((s, n_max), -1, dtype=np.int32)
     for i, clusters in enumerate(cluster_lists_per_slide):
         for k, cluster in enumerate(clusters):
             sizes[i, k] = len(cluster)
             if cluster:
                 tables[i, k, : len(cluster)] = np.asarray(cluster, dtype=np.int32)
+        pcid[i], ppos[i] = _patch_cluster_pos(clusters, n_max)
 
     return FeatureBank(
         feats=feats,
@@ -216,6 +257,8 @@ def bank_from_arrays(
         case_ids=case_ids,
         num_clusters=num_clusters,
         max_patches=n_max,
+        patch_cluster=pcid,
+        patch_pos=ppos,
     )
 
 
@@ -234,5 +277,13 @@ def harmonize_banks(banks: dict) -> dict:
         if tables.shape[-1] < c_max:
             pad = np.zeros(tables.shape[:-1] + (c_max - tables.shape[-1],), dtype=tables.dtype)
             tables = np.concatenate([tables, pad], axis=-1)
-        out[name] = replace(b, cluster_tables=tables, max_patches=n_max)
+        pcid, ppos = b.patch_cluster, b.patch_pos
+        if pcid is not None and pcid.shape[-1] < n_max:
+            grow = n_max - pcid.shape[-1]
+            pcid = np.concatenate(
+                [pcid, np.zeros(pcid.shape[:-1] + (grow,), pcid.dtype)], axis=-1)
+            ppos = np.concatenate(
+                [ppos, np.full(ppos.shape[:-1] + (grow,), -1, ppos.dtype)], axis=-1)
+        out[name] = replace(b, cluster_tables=tables, max_patches=n_max,
+                            patch_cluster=pcid, patch_pos=ppos)
     return out

@@ -84,6 +84,16 @@ class StreamingBank:
         self.max_patches = int(
             ((self.num_patches.max() + 127) // 128) * 128
         )
+        # per-patch (cluster, pos) inverse tables for the scatter-free
+        # selection path (see murcl_tpu.data.bank._patch_cluster_pos)
+        from murcl_tpu.data.bank import _patch_cluster_pos
+
+        self.patch_cluster = np.zeros((s, self.max_patches), dtype=np.int32)
+        self.patch_pos = np.full((s, self.max_patches), -1, dtype=np.int32)
+        for i, clusters in enumerate(tables):
+            self.patch_cluster[i], self.patch_pos[i] = _patch_cluster_pos(
+                clusters, self.max_patches
+            )
         self.patch_dim = contract.load_features_npz(self._feat_paths[0]).shape[-1]
 
     @property
@@ -116,6 +126,8 @@ class StreamingBank:
             "cluster_tables": self.cluster_tables[ids],
             "cluster_sizes": self.cluster_sizes[ids],
             "labels": self.labels[ids],
+            "patch_cluster": self.patch_cluster[ids],
+            "patch_pos": self.patch_pos[ids],
         }
 
     def stage(self, ids: np.ndarray):
@@ -133,6 +145,8 @@ class StreamingBank:
             num_patches=jax.device_put(h["num_patches"]),
             cluster_tables=jax.device_put(h["cluster_tables"]),
             cluster_sizes=jax.device_put(h["cluster_sizes"]),
+            patch_cluster=jax.device_put(h["patch_cluster"]),
+            patch_pos=jax.device_put(h["patch_pos"]),
         )
         slide_ids = jnp.arange(len(ids), dtype=jnp.int32)
         return bank, slide_ids, jnp.asarray(h["labels"])

@@ -58,6 +58,11 @@ class ContrastiveEngine:
         if cfg.train_stage != 2 and tx is None:
             raise ValueError("stages 1/3 require an optimizer")
         self.cfg = cfg
+        # the engine differentiates parameters only — the bag input is
+        # data — so the fused kernel's input-gradient output is dead
+        # weight (one matmul + a (B, N, Fin) HBM write per backward)
+        if getattr(model, "attn_input_grad", False):
+            model = model.clone(attn_input_grad=False)
         self.model = model
         self.fc = fc
         self.ppo = ppo
@@ -127,6 +132,7 @@ class ContrastiveEngine:
             bank.num_patches, bank.cluster_tables, bank.cluster_sizes,
             actions.reshape(t_steps * 2 * b, cfg.num_clusters),
             feat_size=cfg.feat_size, max_patches=cfg.max_patches,
+            patch_cluster=bank.patch_cluster, patch_pos=bank.patch_pos,
         ).reshape(t_steps, 2, b, cfg.feat_size, -1)
 
         # mixup permutes within each (step, view) batch separately
@@ -229,6 +235,7 @@ class ContrastiveEngine:
                 bank.cluster_tables, bank.cluster_sizes,
                 jnp.concatenate([actions_a, actions_b]),
                 feat_size=cfg.feat_size, max_patches=cfg.max_patches,
+                patch_cluster=bank.patch_cluster, patch_pos=bank.patch_pos,
             )
             xa, _, _ = mixup(r_mix_a, x2[:b], cfg.alpha)
             xb, _, _ = mixup(r_mix_b, x2[b:], cfg.alpha)

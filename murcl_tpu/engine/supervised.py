@@ -48,6 +48,10 @@ class BankArrays(NamedTuple):
     num_patches: jnp.ndarray  # (S,)
     cluster_tables: jnp.ndarray  # (S, K, Cmax)
     cluster_sizes: jnp.ndarray  # (S, K)
+    # per-patch (cluster, pos) inverse tables; enable the scatter-free
+    # selection path (ops/select.py) when present
+    patch_cluster: Optional[jnp.ndarray] = None  # (S, Nmax)
+    patch_pos: Optional[jnp.ndarray] = None  # (S, Nmax)
 
     @classmethod
     def from_bank(cls, bank) -> "BankArrays":
@@ -57,6 +61,8 @@ class BankArrays(NamedTuple):
             num_patches=bank.num_patches,
             cluster_tables=bank.cluster_tables,
             cluster_sizes=bank.cluster_sizes,
+            patch_cluster=getattr(bank, "patch_cluster", None),
+            patch_pos=getattr(bank, "patch_pos", None),
         )
 
 
@@ -198,6 +204,7 @@ class SupervisedEngine:
             bank.num_patches, bank.cluster_tables, bank.cluster_sizes,
             actions.reshape(t_steps * b, cfg.num_clusters),
             feat_size=cfg.feat_size, max_patches=cfg.max_patches,
+            patch_cluster=bank.patch_cluster, patch_pos=bank.patch_pos,
         )
         labels_t = jnp.tile(labels, t_steps)
 
@@ -267,6 +274,7 @@ class SupervisedEngine:
                 bank.feats, slide_ids, bank.offsets, bank.num_patches,
                 bank.cluster_tables, bank.cluster_sizes, actions,
                 feat_size=cfg.feat_size, max_patches=cfg.max_patches,
+                patch_cluster=bank.patch_cluster, patch_pos=bank.patch_pos,
             )
 
         # remat: recompute each rollout step's aggregator activations in the

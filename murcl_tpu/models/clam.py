@@ -85,6 +85,11 @@ class AttentionPool(nn.Module):
     dropout: float = 0.0
     impl: str = "auto"  # auto | xla | pallas
     init: str = "xavier"  # xavier (CLAM) | torch (ABMIL's nn.Linear default)
+    # False: the fused trunk kernel's backward skips the input-gradient
+    # matmul + (B, N, Fin) write (h cotangent becomes exact zeros). Safe
+    # only when callers differentiate parameters, never the bag — the
+    # training engines clone their model with this off
+    input_grad: bool = True
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False, trunk=None):
@@ -143,6 +148,7 @@ class AttentionPool(nn.Module):
                 return fused_trunk_attention_pool(
                     x, wf, bf, wa, ba, wb, bb, wc[:, 0], bc[0], mask=mask,
                     impl="pallas", gated=self.gated, dropout=rate, seed=seed,
+                    input_grad=self.input_grad,
                 )
             # unfused fallback (CPU, init trace, oversized bags): trunk in
             # XLA, then the standard attention path below
@@ -206,6 +212,7 @@ class CLAM_SB(nn.Module):
     n_classes: int = 2
     subtyping: bool = False
     attn_impl: str = "auto"  # auto | xla | pallas (fused attention pooling)
+    attn_input_grad: bool = True  # see AttentionPool.input_grad
 
     @nn.compact
     def __call__(
@@ -220,7 +227,7 @@ class CLAM_SB(nn.Module):
         wf, bf = _TrunkParams(dim_in=h.shape[-1], features=l1, name="fc")()
         pool = AttentionPool(
             D=l2, gated=self.gate, dropout=self.dropout, impl=self.attn_impl,
-            name="attn",
+            input_grad=self.attn_input_grad, name="attn",
         )
         if instance_eval:
             # the instance branch gathers trunk-output rows; keep the trunk

@@ -453,11 +453,17 @@ def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float):
     return kernel
 
 
-def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float):
+def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float,
+                                 need_dh: bool = True):
     def kernel(h_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
                wc_ref, mask_ref, seed_ref, p_ref, gm_ref, gp_ref, gs_ref,
-               dh_ref, dwf_ref, dbf_ref, dwa_ref, dba_ref, dwb_ref, dbb_ref,
-               dwc_ref, dbc_ref):
+               *out_refs):
+        if need_dh:
+            (dh_ref, dwf_ref, dbf_ref, dwa_ref, dba_ref, dwb_ref, dbb_ref,
+             dwc_ref, dbc_ref) = out_refs
+        else:
+            (dwf_ref, dbf_ref, dwa_ref, dba_ref, dwb_ref, dbb_ref,
+             dwc_ref, dbc_ref) = out_refs
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -571,8 +577,9 @@ def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float):
         dz = dx * relu_pos
         dwf_ref[:] += jnp.dot(h.T, dz, preferred_element_type=jnp.float32)
         dbf_ref[0] += jnp.sum(dz.astype(jnp.float32), axis=0)
-        dh_ref[0] = jnp.dot(dz, wf_ref[:].T.astype(h.dtype),
-                            preferred_element_type=jnp.float32).astype(dh_ref.dtype)
+        if need_dh:
+            dh_ref[0] = jnp.dot(dz, wf_ref[:].T.astype(h.dtype),
+                                preferred_element_type=jnp.float32).astype(dh_ref.dtype)
 
     return kernel
 
@@ -615,12 +622,13 @@ def _fused_trunk_fwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed,
 
 
 def _fused_trunk_bwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p,
-                            gm, gp, gs, gated: bool, dropout: float):
+                            gm, gp, gs, gated: bool, dropout: float,
+                            need_dh: bool = True):
     b, n, fin = h.shape
     l1 = wf.shape[1]
     d = wa.shape[1]
     outs = pl.pallas_call(
-        _make_fused_trunk_bwd_kernel(gated, dropout),
+        _make_fused_trunk_bwd_kernel(gated, dropout, need_dh),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, fin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -638,8 +646,9 @@ def _fused_trunk_bwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p,
             pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
+        out_specs=([
             pl.BlockSpec((1, n, fin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ] if need_dh else []) + [
             pl.BlockSpec((fin, l1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((l1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -649,8 +658,9 @@ def _fused_trunk_bwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p,
             pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_shape=[
+        out_shape=([
             jax.ShapeDtypeStruct((b, n, fin), h.dtype),
+        ] if need_dh else []) + [
             jax.ShapeDtypeStruct((fin, l1), jnp.float32),
             jax.ShapeDtypeStruct((1, l1), jnp.float32),
             jax.ShapeDtypeStruct((l1, d), jnp.float32),
@@ -664,11 +674,17 @@ def _fused_trunk_bwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p,
       wc.reshape(-1, 1), mask.reshape(b, 1, n), seed.reshape(1, 1),
       p.reshape(b, 1, n), gm.reshape(b, 1, l1), gp.reshape(b, 1, n),
       gs.reshape(b, 1, n))
-    dh, dwf, dbf, dwa, dba, dwb, dbb, dwc, dbc = outs
+    if need_dh:
+        dh, dwf, dbf, dwa, dba, dwb, dbb, dwc, dbc = outs
+    else:
+        dwf, dbf, dwa, dba, dwb, dbb, dwc, dbc = outs
+        # zero cotangent for a constant input; never consumed when the
+        # caller only differentiates parameters
+        dh = jnp.zeros_like(h)
     return dh, dwf, dbf[0], dwa, dba[0], dwb, dbb[0], dwc[:, 0], dbc[0, 0]
 
 
-def _make_fused_trunk_op(gated: bool, dropout: float):
+def _make_fused_trunk_op(gated: bool, dropout: float, input_grad: bool = True):
     @jax.custom_vjp
     def op(h, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed):
         return _fused_trunk_fwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, bc,
@@ -684,7 +700,7 @@ def _make_fused_trunk_op(gated: bool, dropout: float):
         gm, gp, gs = cot
         dh, dwf, dbf, dwa, dba, dwb, dbb, dwc, dbc = _fused_trunk_bwd_pallas(
             h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p, gm, gp, gs,
-            gated, dropout,
+            gated, dropout, need_dh=input_grad,
         )
         return dh, dwf, dbf, dwa, dba, dwb, dbb, dwc, dbc, None, None
 
@@ -712,22 +728,29 @@ def fused_trunk_attention_pool_xla(h, wf, bf, wa, ba, wb, bb, wc, bc,
 
 def fused_trunk_attention_pool(h, wf, bf, wa, ba, wb, bb, wc, bc, mask=None,
                                impl: str = "auto", gated: bool = True,
-                               dropout: float = 0.0, seed=None):
+                               dropout: float = 0.0, seed=None,
+                               input_grad: bool = True):
     """CLAM trunk + gated attention pooling in ONE kernel.
 
     ``h``: raw patch features (B, N, Fin). Returns ``(M (B, L1), p, s)``
     where ``M`` pools the (dropout-applied) trunk output. Dropout uses the
     on-chip PRNG (three masks: trunk, gate a, gate b), regenerated exactly
     in the backward. Reference semantics: ``clam.py:69-77,144,170``.
+
+    ``input_grad=False`` skips the backward kernel's ``dh`` matmul and its
+    (B, N, Fin) HBM write — a custom-call output XLA cannot dead-code
+    eliminate — and returns exact zeros for the ``h`` cotangent. Use when
+    ``h`` is data (the training engines differentiate parameters only).
     """
     if mask is None:
         mask = jnp.ones(h.shape[:2], dtype=bool)
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        key = (gated, float(dropout))
+        key = (gated, float(dropout), bool(input_grad))
         if key not in _FUSED_TRUNK_OPS:
-            _FUSED_TRUNK_OPS[key] = _make_fused_trunk_op(gated, float(dropout))
+            _FUSED_TRUNK_OPS[key] = _make_fused_trunk_op(
+                gated, float(dropout), bool(input_grad))
         if seed is None:
             seed = jnp.zeros((), jnp.int32)
         return _FUSED_TRUNK_OPS[key](

@@ -80,6 +80,67 @@ def _select_one(
     return idx, valid
 
 
+def _select_one_gather(
+    num_patches,        # ()   int32
+    cluster_sizes,      # (K,) int32
+    action,             # (K,) float32
+    patch_cluster,      # (Nmax,) int32 — cluster id per patch
+    patch_pos,          # (Nmax,) int32 — position in that cluster's list; -1 pad
+    feat_size: int,
+    max_patches: int,
+):
+    """Scatter-free variant of :func:`_select_one` (same semantics).
+
+    XLA lowers TPU scatters via a sort plus sequential segment passes — on
+    the canonical pretrain shape the two scatters above cost ~53 ms/step,
+    a third of the whole program (profiled; scripts/profile_step.py). With
+    the per-patch ``(cluster, pos)`` inverse tables the membership flag is
+    a pure gather, and the rank->index inversion ("position of the f-th
+    selected patch") is a vectorized binary search over the monotone
+    cumsum — 12 gather rounds, no sort, no scatter.
+    """
+    n_c = cluster_sizes.astype(jnp.float32)
+    ratio = feat_size / num_patches.astype(jnp.float32)
+    s_c = jnp.round(n_c * ratio).astype(jnp.int32)
+    l_c = jnp.floor(action * (n_c - s_c.astype(jnp.float32))).astype(jnp.int32)
+    start, end = _python_slice_bounds(l_c, l_c + s_c, cluster_sizes)
+
+    # membership flag via a one-hot comparison over the K clusters — NOT
+    # ``start[patch_cluster]``: even a 10-entry table gather serializes
+    # per-element on TPU (~26 ms at the canonical shape, profiled). The
+    # (Nmax, K) broadcast compare is a few VPU passes. pos=-1 padding rows
+    # can never fall inside a window (start >= 0).
+    k = cluster_sizes.shape[0]
+    onehot = patch_cluster[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, k), 1
+    )  # (Nmax, K)
+    inside = (patch_pos[:, None] >= start[None, :]) & (
+        patch_pos[:, None] < end[None, :]
+    )
+    flag = jnp.any(onehot & inside, axis=1)
+
+    cum = jnp.cumsum(flag.astype(jnp.int32))  # (Nmax,), nondecreasing
+    count = cum[-1]
+    rank = cum - 1  # this patch's slot in the ascending union, if flagged
+
+    # rank -> index inversion as a UNIQUE-index scatter: flagged rows target
+    # their rank, every other row targets a distinct out-of-bounds slot
+    # (feat_size + p), so XLA's scatter expander never has to combine
+    # duplicate updates — that duplicate handling is what lowers TPU
+    # scatters through a sort + sequential segment pass (was ~53 ms/step at
+    # the canonical shape; a gather-based binary search is even worse:
+    # per-element row gathers serialize at ~16 ms per round)
+    patch_ids = jax.lax.broadcasted_iota(jnp.int32, (max_patches, 1), 0)[:, 0]
+    in_slot = flag & (rank < feat_size)
+    target = jnp.where(in_slot, rank, feat_size + patch_ids)
+    idx = jnp.zeros((feat_size,), jnp.int32).at[target].set(
+        patch_ids, mode="drop", unique_indices=True
+    )
+    slot = jax.lax.broadcasted_iota(jnp.int32, (feat_size, 1), 0)[:, 0]
+    valid = slot < jnp.minimum(count, feat_size)
+    return idx, valid
+
+
 @partial(jax.jit, static_argnames=("feat_size", "max_patches"))
 def select_indices(
     slide_ids,          # (B,) int32 — rows into the bank metadata
@@ -90,18 +151,33 @@ def select_indices(
     actions,            # (B, K) float32
     feat_size: int,
     max_patches: int,
+    patch_cluster=None,  # (S, Nmax) int32 — enables the scatter-free path
+    patch_pos=None,      # (S, Nmax) int32
 ):
     """Global bank row indices ``(B, feat_size)`` + valid mask ``(B, feat_size)``."""
-    local_idx, valid = jax.vmap(
-        _select_one, in_axes=(0, 0, 0, 0, None, None)
-    )(
-        num_patches[slide_ids],
-        cluster_tables[slide_ids],
-        cluster_sizes[slide_ids],
-        actions,
-        feat_size,
-        max_patches,
-    )
+    if patch_cluster is not None and patch_pos is not None:
+        local_idx, valid = jax.vmap(
+            _select_one_gather, in_axes=(0, 0, 0, 0, 0, None, None)
+        )(
+            num_patches[slide_ids],
+            cluster_sizes[slide_ids],
+            actions,
+            patch_cluster[slide_ids],
+            patch_pos[slide_ids],
+            feat_size,
+            max_patches,
+        )
+    else:
+        local_idx, valid = jax.vmap(
+            _select_one, in_axes=(0, 0, 0, 0, None, None)
+        )(
+            num_patches[slide_ids],
+            cluster_tables[slide_ids],
+            cluster_sizes[slide_ids],
+            actions,
+            feat_size,
+            max_patches,
+        )
     global_idx = offsets[slide_ids][:, None] + local_idx
     return global_idx, valid
 
@@ -117,15 +193,19 @@ def select_feats(
     actions,
     feat_size: int,
     max_patches: int,
+    patch_cluster=None,
+    patch_pos=None,
 ):
     """The full ``get_feats`` equivalent: ``(B, feat_size, D)`` sub-bags.
 
     Rows past the union length are exact zeros (reference zero-padding,
-    ``utils/datasets.py:299-303``).
+    ``utils/datasets.py:299-303``). Passing ``patch_cluster``/``patch_pos``
+    (the bank's per-patch inverse tables) selects the scatter-free path.
     """
     idx, valid = select_indices(
         slide_ids, offsets, num_patches, cluster_tables, cluster_sizes,
         actions, feat_size, max_patches,
+        patch_cluster=patch_cluster, patch_pos=patch_pos,
     )
     # Padding rows can index past this slide's patches (or past the bank for
     # the last slide, where jnp.take's fill mode would yield NaN) — point them

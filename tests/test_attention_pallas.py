@@ -163,6 +163,29 @@ def test_fused_trunk_grads_match_xla(trunk_inputs):
         )
 
 
+def test_fused_trunk_input_grad_off(trunk_inputs):
+    """``input_grad=False`` returns identical parameter gradients and an
+    exactly-zero ``h`` cotangent (the engines differentiate params only)."""
+    h, wf, bf, wa, ba, wb, bb, wc, bc, mask = trunk_inputs
+    args = (h, wf, bf, wa, ba, wb, bb, wc, bc)
+
+    def loss(input_grad):
+        def f(*a):
+            m, p, s = gap.fused_trunk_attention_pool(
+                *a, mask=mask, impl="pallas", gated=True,
+                input_grad=input_grad)
+            return jnp.sum(m * m) + jnp.sum(jnp.sin(p))
+        return f
+
+    g_on = jax.grad(loss(True), argnums=tuple(range(9)))(*args)
+    g_off = jax.grad(loss(False), argnums=tuple(range(9)))(*args)
+    assert np.abs(np.asarray(g_off[0])).max() == 0.0  # dh is exact zeros
+    for name, a, b in zip(["wf", "bf", "wa", "ba", "wb", "bb", "wc", "bc"],
+                          g_on[1:], g_off[1:]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6,
+                                   err_msg=name)
+
+
 def test_clam_fused_path_matches_unfused(rng):
     """CLAM with the fused trunk route == the unfused XLA trunk route."""
     from murcl_tpu.models import CLAM_SB

@@ -238,12 +238,16 @@ def test_remat_none_matches_save_subbag(small_bank):
         np.testing.assert_allclose(loss_a, loss_b, rtol=1e-6)
         # the two programs fuse differently, so reduction order shifts by
         # ulps; Adam's sqrt(v)+eps denominator amplifies that on a handful
-        # of elements, and the attention score bias has a ~0 gradient
-        # (softmax shift invariance) that is pure noise in relative terms
+        # of elements. The attention score bias (the only 1-element leaf)
+        # has an analytically ZERO gradient (softmax shift invariance): its
+        # gradient is pure cancellation noise, and Adam turns noise-order
+        # differences into updates of up to ~lr — tolerate that scale there
         for xa, xb in zip(jax.tree_util.tree_leaves(params_a),
                           jax.tree_util.tree_leaves(params_b)):
-            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
-                                       rtol=1e-4, atol=5e-5)
+            a = np.asarray(xa)
+            atol = 2.5e-3 if a.size == 1 else 5e-5
+            np.testing.assert_allclose(a, np.asarray(xb),
+                                       rtol=1e-4, atol=atol)
 
 
 def test_stage1_batched_rollout_matches_sequential_math(small_bank):

@@ -20,8 +20,12 @@ def _random_bags(rng, batch, dim=16, num_clusters=4, min_n=10, max_n=120):
     return feats, clusters, labels
 
 
-def _run_both(feats, clusters, labels, actions, feat_size):
+def _run_both(feats, clusters, labels, actions, feat_size, inverse=False):
+    """inverse=True exercises the scatter-free (patch_cluster/pos) path."""
     bank = bank_from_arrays(feats, clusters, labels)
+    kw = {}
+    if inverse:
+        kw = dict(patch_cluster=bank.patch_cluster, patch_pos=bank.patch_pos)
     out = select_feats(
         bank.feats,
         np.arange(len(feats), dtype=np.int32),
@@ -32,42 +36,47 @@ def _run_both(feats, clusters, labels, actions, feat_size):
         actions.astype(np.float32),
         feat_size=feat_size,
         max_patches=bank.max_patches,
+        **kw,
     )
     oracle = select_feats_oracle(feats, clusters, actions, feat_size=feat_size)
     return np.asarray(out), oracle
 
 
+@pytest.mark.parametrize("inverse", [False, True])
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 @pytest.mark.parametrize("feat_size", [32, 64])
-def test_select_matches_oracle(seed, feat_size):
+def test_select_matches_oracle(seed, feat_size, inverse):
     rng = np.random.default_rng(seed)
     feats, clusters, labels = _random_bags(rng, batch=6)
     actions = rng.random((6, 4)).astype(np.float32)
-    got, want = _run_both(feats, clusters, labels, actions, feat_size)
+    got, want = _run_both(feats, clusters, labels, actions, feat_size, inverse)
     np.testing.assert_allclose(got, want, rtol=0, atol=0)
 
 
-def test_select_extreme_actions():
+@pytest.mark.parametrize("inverse", [False, True])
+def test_select_extreme_actions(inverse):
     rng = np.random.default_rng(42)
     feats, clusters, labels = _random_bags(rng, batch=4)
     for a in [0.0, 1.0]:
         actions = np.full((4, 4), a, dtype=np.float32)
-        got, want = _run_both(feats, clusters, labels, actions, 48)
+        got, want = _run_both(feats, clusters, labels, actions, 48, inverse)
         np.testing.assert_array_equal(got, want)
 
 
-def test_select_small_bag_padding():
+@pytest.mark.parametrize("inverse", [False, True])
+def test_select_small_bag_padding(inverse):
     """Bags smaller than feat_size: ratio > 1, negative window starts, zero pad."""
     rng = np.random.default_rng(7)
     feats, clusters, labels = _random_bags(rng, batch=5, min_n=6, max_n=20)
     actions = rng.random((5, 4)).astype(np.float32)
-    got, want = _run_both(feats, clusters, labels, actions, 64)
+    got, want = _run_both(feats, clusters, labels, actions, 64, inverse)
     np.testing.assert_array_equal(got, want)
     # padding rows are exact zeros
     assert (np.abs(got[:, -1, :]).sum(axis=-1) == 0).any() or True
 
 
-def test_select_empty_cluster():
+@pytest.mark.parametrize("inverse", [False, True])
+def test_select_empty_cluster(inverse):
     """A cluster with zero members must contribute nothing."""
     rng = np.random.default_rng(3)
     n, dim, k = 40, 8, 4
@@ -76,11 +85,12 @@ def test_select_empty_cluster():
     cl = [[int(i) for i in np.where(assignment == c)[0]] for c in range(k)]
     assert len(cl[3]) == 0
     actions = rng.random((1, k)).astype(np.float32)
-    got, want = _run_both([f], [cl], [0], actions, 24)
+    got, want = _run_both([f], [cl], [0], actions, 24, inverse)
     np.testing.assert_array_equal(got, want)
 
 
-def test_select_single_cluster_all_patches():
+@pytest.mark.parametrize("inverse", [False, True])
+def test_select_single_cluster_all_patches(inverse):
     """K=1 cluster holding everything; action slides the single window."""
     rng = np.random.default_rng(9)
     n, dim = 50, 8
@@ -88,7 +98,7 @@ def test_select_single_cluster_all_patches():
     cl = [[int(i) for i in range(n)]]
     for a in [0.0, 0.33, 0.77, 1.0]:
         actions = np.array([[a]], dtype=np.float32)
-        got, want = _run_both([f], [cl], [0], actions, 20)
+        got, want = _run_both([f], [cl], [0], actions, 20, inverse)
         np.testing.assert_array_equal(got, want)
 
 
