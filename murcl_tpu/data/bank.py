@@ -174,17 +174,30 @@ def build_bank(
             )
         )
         case_ids.append(str(case_id))
+        # sublane-align every slide's row offset (multiple of 8): the
+        # compaction kernel's HBM DMA slice start must be provably
+        # 8-aligned (ops/compact_pallas.py). <=7 zero rows per slide.
+        aligned = _round_up(f.shape[0], 8)
+        if aligned > f.shape[0]:
+            f = np.concatenate(
+                [f, np.zeros((aligned - f.shape[0], f.shape[1]), f.dtype)]
+            )
         feats_list.append(f)
-        offset += f.shape[0]
+        offset += aligned
 
     if not records:
         raise ValueError(f"empty manifest selection for {data_csv}")
 
-    feats = np.concatenate(feats_list, axis=0).astype(np.float32)
     n_max = max(r.num_patches for r in records)
     c_max = max((max((len(c) for c in r.cluster_lists), default=1)) for r in records)
     n_max = _round_up(max(n_max, global_max_patches or 0), max_patches_pad)
     c_max = _round_up(max(c_max, global_max_cluster or 0, 1), cluster_pad)
+    # over-allocate n_max zero rows past the last slide: the compaction
+    # kernel (ops/compact_pallas.py) DMAs a fixed (n_max, D) window per bag
+    feats = np.concatenate(
+        feats_list + [np.zeros((n_max, feats_list[0].shape[1]), np.float32)],
+        axis=0,
+    ).astype(np.float32)
 
     s = len(records)
     tables = np.zeros((s, num_clusters, c_max), dtype=np.int32)
@@ -225,13 +238,24 @@ def bank_from_arrays(
     num_clusters = len(cluster_lists_per_slide[0])
     case_ids = list(case_ids) if case_ids is not None else [f"case_{i}" for i in range(len(labels))]
 
+    dim = feats_per_slide[0].shape[1]
     offsets, offset = [], 0
+    padded_list = []
     for f in feats_per_slide:
         offsets.append(offset)
-        offset += f.shape[0]
-    feats = np.concatenate(list(feats_per_slide), axis=0).astype(np.float32)
+        aligned = _round_up(f.shape[0], 8)  # see build_bank
+        if aligned > f.shape[0]:
+            f = np.concatenate(
+                [f, np.zeros((aligned - f.shape[0], dim), f.dtype)]
+            )
+        padded_list.append(f)
+        offset += aligned
 
     n_max = _round_up(max(f.shape[0] for f in feats_per_slide), max_patches_pad)
+    # over-allocate n_max zero rows (see build_bank / ops/compact_pallas.py)
+    feats = np.concatenate(
+        padded_list + [np.zeros((n_max, dim), np.float32)], axis=0
+    ).astype(np.float32)
     c_max = _round_up(
         max(max((len(c) for c in cl), default=1) for cl in cluster_lists_per_slide), cluster_pad
     )
@@ -278,12 +302,21 @@ def harmonize_banks(banks: dict) -> dict:
             pad = np.zeros(tables.shape[:-1] + (c_max - tables.shape[-1],), dtype=tables.dtype)
             tables = np.concatenate([tables, pad], axis=-1)
         pcid, ppos = b.patch_cluster, b.patch_pos
+        feats = b.feats
         if pcid is not None and pcid.shape[-1] < n_max:
             grow = n_max - pcid.shape[-1]
             pcid = np.concatenate(
                 [pcid, np.zeros(pcid.shape[:-1] + (grow,), pcid.dtype)], axis=-1)
             ppos = np.concatenate(
                 [ppos, np.full(ppos.shape[:-1] + (grow,), -1, ppos.dtype)], axis=-1)
-        out[name] = replace(b, cluster_tables=tables, max_patches=n_max,
-                            patch_cluster=pcid, patch_pos=ppos)
+        if n_max > b.max_patches:
+            # keep the compaction kernel's over-allocation invariant:
+            # last offset + n_max rows must stay in bounds
+            grow_rows = n_max - b.max_patches
+            feats = np.concatenate(
+                [feats, np.zeros((grow_rows, feats.shape[1]), feats.dtype)]
+            )
+        out[name] = replace(b, feats=feats, cluster_tables=tables,
+                            max_patches=n_max, patch_cluster=pcid,
+                            patch_pos=ppos)
     return out

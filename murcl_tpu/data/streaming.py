@@ -110,15 +110,18 @@ class StreamingBank:
 
     def _host_batch(self, ids: np.ndarray):
         feats = [self._slide_feats(int(i)) for i in ids]
-        total = sum(f.shape[0] for f in feats)
-        bucket = _next_bucket(total, self._row_bucket)
+        # 8-aligned slide offsets + a trailing max_patches window: the
+        # compaction kernel DMAs a fixed-size window from a provably
+        # sublane-aligned start (ops/compact_pallas.py)
+        total = sum(-(-f.shape[0] // 8) * 8 for f in feats)
+        bucket = _next_bucket(total + self.max_patches, self._row_bucket)
         rows = np.zeros((bucket, self.patch_dim), dtype=np.float32)
         offsets = np.zeros((len(ids),), dtype=np.int32)
         off = 0
         for j, f in enumerate(feats):
             offsets[j] = off
             rows[off : off + f.shape[0]] = f
-            off += f.shape[0]
+            off += -(-f.shape[0] // 8) * 8
         return {
             "feats": rows,
             "offsets": offsets,

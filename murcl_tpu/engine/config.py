@@ -50,6 +50,12 @@ class RolloutConfig:
     # previous step's encoder state).
     stage1_layout: str = "batched"  # batched | sequential
 
+    # sub-bag materialization in the batched layout. "auto": on TPU, the
+    # compaction-matmul Pallas kernel (ops/compact_pallas.py) replaces the
+    # rank scatter + row gather + mask pass; elsewhere (and with "xla")
+    # the select_feats gather path runs. Identical outputs either way.
+    select_impl: str = "auto"  # auto | xla
+
     @property
     def uses_policy(self) -> bool:
         return self.train_stage != 1

@@ -29,7 +29,11 @@ import optax
 
 from murcl_tpu.engine.config import PretrainConfig
 from murcl_tpu.engine.losses import cosine_similarity
-from murcl_tpu.engine.supervised import AggTrainState, BankArrays
+from murcl_tpu.engine.supervised import (
+    AggTrainState,
+    BankArrays,
+    _materialize_subbags,
+)
 from murcl_tpu.models.rlmil import PPO, PPOTrainState, PolicyStep, Rollout, act
 from murcl_tpu.ops.mixup import mixup
 from murcl_tpu.ops.ntxent_pallas import nt_xent_fused as nt_xent
@@ -127,12 +131,9 @@ class ContrastiveEngine:
             )
 
         both_ids = jnp.concatenate([slide_ids, slide_ids])
-        x = select_feats(
-            bank.feats, jnp.tile(both_ids, t_steps), bank.offsets,
-            bank.num_patches, bank.cluster_tables, bank.cluster_sizes,
+        x = _materialize_subbags(
+            self.cfg, bank, jnp.tile(both_ids, t_steps),
             actions.reshape(t_steps * 2 * b, cfg.num_clusters),
-            feat_size=cfg.feat_size, max_patches=cfg.max_patches,
-            patch_cluster=bank.patch_cluster, patch_pos=bank.patch_pos,
         ).reshape(t_steps, 2, b, cfg.feat_size, -1)
 
         # mixup permutes within each (step, view) batch separately

@@ -37,7 +37,40 @@ import optax
 from murcl_tpu.engine.config import RolloutConfig
 from murcl_tpu.engine.losses import cross_entropy, label_confidence, masked_mean
 from murcl_tpu.models.rlmil import PPO, PPOTrainState, PolicyStep, Rollout, act
-from murcl_tpu.ops.select import select_feats
+from murcl_tpu.ops.select import select_feats, select_ranks
+
+
+def _materialize_subbags(cfg, bank, slide_ids, actions):
+    """Gather the ``(B, feat_size, D)`` sub-bags for a flat batch.
+
+    On TPU (``cfg.select_impl='auto'``) the compaction-matmul kernel
+    (:mod:`murcl_tpu.ops.compact_pallas`) materializes each bag with one
+    contiguous-row DMA + an MXU one-hot contraction — replacing the rank
+    scatter + per-row HBM gather + mask pass (~41 ms/step at the canonical
+    shape). Identical outputs to :func:`select_feats`.
+    """
+    import jax as _jax
+
+    use_compact = (
+        cfg.select_impl == "auto"
+        and bank.patch_cluster is not None
+        and _jax.default_backend() == "tpu"
+    )
+    if use_compact:
+        from murcl_tpu.ops.compact_pallas import gather_compact
+
+        ranks, row_offs, _valid = select_ranks(
+            slide_ids, bank.offsets, bank.num_patches, bank.cluster_sizes,
+            actions, bank.patch_cluster, bank.patch_pos,
+            feat_size=cfg.feat_size,
+        )
+        return gather_compact(bank.feats, row_offs, ranks, cfg.feat_size)
+    return select_feats(
+        bank.feats, slide_ids, bank.offsets, bank.num_patches,
+        bank.cluster_tables, bank.cluster_sizes, actions,
+        feat_size=cfg.feat_size, max_patches=cfg.max_patches,
+        patch_cluster=bank.patch_cluster, patch_pos=bank.patch_pos,
+    )
 
 
 class BankArrays(NamedTuple):
@@ -199,12 +232,9 @@ class SupervisedEngine:
         if actions is None:
             actions = jax.random.uniform(r_act, (t_steps, b, cfg.num_clusters))
 
-        x = select_feats(
-            bank.feats, jnp.tile(slide_ids, t_steps), bank.offsets,
-            bank.num_patches, bank.cluster_tables, bank.cluster_sizes,
+        x = _materialize_subbags(
+            cfg, bank, jnp.tile(slide_ids, t_steps),
             actions.reshape(t_steps * b, cfg.num_clusters),
-            feat_size=cfg.feat_size, max_patches=cfg.max_patches,
-            patch_cluster=bank.patch_cluster, patch_pos=bank.patch_pos,
         )
         labels_t = jnp.tile(labels, t_steps)
 

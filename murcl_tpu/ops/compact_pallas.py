@@ -1,0 +1,138 @@
+"""Sub-bag compaction as a one-hot matmul Pallas kernel.
+
+The batched rollout needs ``out[i, f, :] = bank[row_offsets[i] + p, :]``
+where ``ranks[i, p] == f`` — i.e. compact each bag's selected patches
+(``ranks`` from :func:`murcl_tpu.ops.select.select_ranks`) into a dense
+``(B, feat_size, D)`` tensor, zero-padding slots past the selection count.
+
+XLA's route costs ~41 ms/step at the canonical pretrain shape (profiled,
+scripts/profile_step.py): a unique-index scatter to invert rank->index
+(14.5 ms), a per-row HBM gather whose (8, 128) tiling amplifies traffic
+(21.8 ms), and a valid-mask pass (~5 ms). This kernel replaces all three
+with, per bag: one contiguous-row DMA of the slide's ``(Nmax, D)`` window
+(double-buffered across grid steps — contiguous reads run at HBM speed,
+unlike row gathers), a VPU one-hot build ``oh[f, j] = (ranks[j] == f)``,
+and an MXU contraction ``out = oh @ rows`` (K=tile matmuls). Rank -1
+(unselected / truncated) matches no ``f``, which zero-fills pad slots —
+the reference's zero padding (``utils/datasets.py:299-303``) for free.
+
+The bank MUST be over-allocated by ``Nmax`` rows past the last slide
+(``murcl_tpu.data.bank`` pads this) so the fixed-size DMA window never
+reads out of bounds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def gather_compact_xla(bank_feats, row_offsets, ranks, feat_size: int):
+    """Golden model: per-bag dynamic slice + one-hot contraction."""
+    n_max = ranks.shape[1]
+    d = bank_feats.shape[1]
+
+    def one(off, r):
+        rows = jax.lax.dynamic_slice(bank_feats, (off, 0), (n_max, d))
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (feat_size, n_max), 0)
+            == r[None, :]
+        ).astype(rows.dtype)
+        return jnp.dot(oh, rows, preferred_element_type=jnp.float32).astype(
+            rows.dtype
+        )
+
+    return jax.vmap(one)(row_offsets, ranks)
+
+
+def _make_kernel(n_max: int, tile: int, feat_size: int, d: int):
+    n_tiles = n_max // tile
+
+    def kernel(offs8_ref, ranks_ref, feats_hbm, out_ref, rows_buf, sems):
+        i = pl.program_id(0)
+        nb = pl.num_programs(0)
+        slot = jax.lax.rem(i, 2)
+
+        # offsets arrive divided by 8 and are rescaled here: the HBM source
+        # is (8, 128)-tiled, and Mosaic must PROVE the slice start is
+        # sublane-aligned — `x * 8` is provable, a raw runtime value is not
+        # (the bank aligns every slide offset to 8; data/bank.py)
+        def row0(j):
+            return offs8_ref[j] * 8
+
+        # double-buffered whole-window DMA: bag i's rows were started at
+        # step i-1 (or right here for i == 0); start bag i+1's now. The
+        # target slot's previous contents were consumed a full grid step
+        # ago, so overwriting is safe.
+        @pl.when(i == 0)
+        def _():
+            pltpu.make_async_copy(
+                feats_hbm.at[pl.ds(row0(0), n_max), :],
+                rows_buf.at[0], sems.at[0],
+            ).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            nxt = jax.lax.rem(i + 1, 2)
+            pltpu.make_async_copy(
+                feats_hbm.at[pl.ds(row0(i + 1), n_max), :],
+                rows_buf.at[nxt], sems.at[nxt],
+            ).start()
+
+        pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(row0(i), n_max), :],
+            rows_buf.at[slot], sems.at[slot],
+        ).wait()
+
+        acc = jnp.zeros((feat_size, d), jnp.float32)
+        iota_f = jax.lax.broadcasted_iota(jnp.int32, (feat_size, tile), 0)
+        for t in range(n_tiles):
+            rows_t = rows_buf[slot, t * tile:(t + 1) * tile, :]
+            ranks_t = ranks_ref[0, :, t * tile:(t + 1) * tile]  # (1, tile)
+            oh = (iota_f == ranks_t).astype(rows_t.dtype)  # (F, tile)
+            acc = acc + jnp.dot(oh, rows_t, preferred_element_type=jnp.float32)
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("feat_size", "interpret"))
+def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
+                   interpret: bool = False):
+    """Compact selected bank rows into ``(B, feat_size, D)`` sub-bags.
+
+    ``bank_feats (P, D)`` (P over-allocated by Nmax rows), ``row_offsets
+    (B,)`` int32 — each a multiple of 8 (slide offsets are sublane-aligned
+    by the bank builders), ``ranks (B, Nmax)`` int32 with -1 for
+    unselected.
+    """
+    b, n_max = ranks.shape
+    d = bank_feats.shape[1]
+    tile = 256 if n_max % 256 == 0 else 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            # (B, 1, Nmax) so the block's last two dims equal the array's
+            # (the TPU lowering requires (8, 128)-divisible or full dims)
+            pl.BlockSpec((1, 1, n_max), lambda i, offs: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # bank stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, feat_size, d), lambda i, offs: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_max, d), bank_feats.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_kernel(n_max, tile, feat_size, d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, feat_size, d), bank_feats.dtype),
+        interpret=interpret,
+    )(row_offsets // 8, ranks.reshape(b, 1, n_max), bank_feats)

@@ -95,9 +95,39 @@ def _select_one_gather(
     the canonical pretrain shape the two scatters above cost ~53 ms/step,
     a third of the whole program (profiled; scripts/profile_step.py). With
     the per-patch ``(cluster, pos)`` inverse tables the membership flag is
-    a pure gather, and the rank->index inversion ("position of the f-th
-    selected patch") is a vectorized binary search over the monotone
-    cumsum — 12 gather rounds, no sort, no scatter.
+    a pure compare; only the rank->index inversion remains a (unique-index,
+    hence sort-free) scatter.
+    """
+    rank, count = _ranks_one(
+        num_patches, cluster_sizes, action, patch_cluster, patch_pos,
+        feat_size,
+    )
+
+    # rank -> index inversion as a UNIQUE-index scatter: in-sub-bag rows
+    # target their rank, every other row targets a distinct out-of-bounds
+    # slot (feat_size + p), so XLA's scatter expander never has to combine
+    # duplicate updates — that duplicate handling is what lowers TPU
+    # scatters through a sort + sequential segment pass (was ~53 ms/step at
+    # the canonical shape; a gather-based binary search is even worse:
+    # per-element row gathers serialize at ~16 ms per round)
+    patch_ids = jax.lax.broadcasted_iota(jnp.int32, (max_patches, 1), 0)[:, 0]
+    target = jnp.where(rank >= 0, rank, feat_size + patch_ids)
+    idx = jnp.zeros((feat_size,), jnp.int32).at[target].set(
+        patch_ids, mode="drop", unique_indices=True
+    )
+    slot = jax.lax.broadcasted_iota(jnp.int32, (feat_size, 1), 0)[:, 0]
+    valid = slot < jnp.minimum(count, feat_size)
+    return idx, valid
+
+
+def _ranks_one(num_patches, cluster_sizes, action, patch_cluster, patch_pos,
+               feat_size: int):
+    """Per-patch sub-bag slot, or -1: ``(rank (Nmax,), count ())``.
+
+    ``rank[p] = r`` means patch ``p`` is the ``r``-th row (ascending patch
+    order) of the selected sub-bag; ``-1`` marks unselected patches and
+    selected ones truncated past ``feat_size`` (reference truncation,
+    ``utils/datasets.py:304-306``).
     """
     n_c = cluster_sizes.astype(jnp.float32)
     ratio = feat_size / num_patches.astype(jnp.float32)
@@ -122,23 +152,38 @@ def _select_one_gather(
     cum = jnp.cumsum(flag.astype(jnp.int32))  # (Nmax,), nondecreasing
     count = cum[-1]
     rank = cum - 1  # this patch's slot in the ascending union, if flagged
+    rank = jnp.where(flag & (rank < feat_size), rank, -1)
+    return rank, count
 
-    # rank -> index inversion as a UNIQUE-index scatter: flagged rows target
-    # their rank, every other row targets a distinct out-of-bounds slot
-    # (feat_size + p), so XLA's scatter expander never has to combine
-    # duplicate updates — that duplicate handling is what lowers TPU
-    # scatters through a sort + sequential segment pass (was ~53 ms/step at
-    # the canonical shape; a gather-based binary search is even worse:
-    # per-element row gathers serialize at ~16 ms per round)
-    patch_ids = jax.lax.broadcasted_iota(jnp.int32, (max_patches, 1), 0)[:, 0]
-    in_slot = flag & (rank < feat_size)
-    target = jnp.where(in_slot, rank, feat_size + patch_ids)
-    idx = jnp.zeros((feat_size,), jnp.int32).at[target].set(
-        patch_ids, mode="drop", unique_indices=True
+
+@partial(jax.jit, static_argnames=("feat_size",))
+def select_ranks(
+    slide_ids,          # (B,) int32
+    offsets,            # (S,) int32
+    num_patches,        # (S,) int32
+    cluster_sizes,      # (S, K) int32
+    actions,            # (B, K) float32
+    patch_cluster,      # (S, Nmax) int32
+    patch_pos,          # (S, Nmax) int32
+    feat_size: int,
+):
+    """Batched per-patch sub-bag slots for the compaction-matmul kernel.
+
+    Returns ``(ranks (B, Nmax) int32 with -1 for out, row_offsets (B,),
+    valid (B, feat_size))``. ``ranks[i, p] == f`` identifies bank row
+    ``row_offsets[i] + p`` as sub-bag row ``f`` of bag ``i``.
+    """
+    ranks, counts = jax.vmap(_ranks_one, in_axes=(0, 0, 0, 0, 0, None))(
+        num_patches[slide_ids],
+        cluster_sizes[slide_ids],
+        actions,
+        patch_cluster[slide_ids],
+        patch_pos[slide_ids],
+        feat_size,
     )
-    slot = jax.lax.broadcasted_iota(jnp.int32, (feat_size, 1), 0)[:, 0]
-    valid = slot < jnp.minimum(count, feat_size)
-    return idx, valid
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, feat_size), 1)
+    valid = slot < jnp.minimum(counts, feat_size)[:, None]
+    return ranks, offsets[slide_ids], valid
 
 
 @partial(jax.jit, static_argnames=("feat_size", "max_patches"))

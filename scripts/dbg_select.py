@@ -48,17 +48,24 @@ def main():
         float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
         return (time.perf_counter() - t0) / k * 1000
 
-    @jax.jit
-    def indices_only(ids, r):
-        acc = jnp.int32(0)
-        for t in range(T):
-            a = jax.random.uniform(jax.random.fold_in(r, t), (BATCH, K))
-            idx, valid = select_indices(ids, ba.offsets, ba.num_patches,
-                                        ba.cluster_tables, ba.cluster_sizes, a,
-                                        feat_size=FEAT_SIZE,
-                                        max_patches=bank.max_patches)
-            acc = acc + idx[0, 0] + jnp.sum(valid[0].astype(jnp.int32))
-        return acc
+    def make_indices_only(scatter_free: bool):
+        kw = {}
+        if scatter_free:
+            kw = dict(patch_cluster=ba.patch_cluster, patch_pos=ba.patch_pos)
+
+        @jax.jit
+        def indices_only(ids, r):
+            acc = jnp.int32(0)
+            for t in range(T):
+                a = jax.random.uniform(jax.random.fold_in(r, t), (BATCH, K))
+                idx, valid = select_indices(ids, ba.offsets, ba.num_patches,
+                                            ba.cluster_tables, ba.cluster_sizes, a,
+                                            feat_size=FEAT_SIZE,
+                                            max_patches=bank.max_patches, **kw)
+                acc = acc + idx[0, 0] + jnp.sum(valid[0].astype(jnp.int32))
+            return acc
+
+        return indices_only
 
     # fixed indices, gather only
     a0 = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, K))
@@ -95,7 +102,8 @@ def main():
             acc = acc + jnp.sum(x[0, 0].astype(jnp.float32))
         return acc
 
-    print(f"{T}x index computation only: {timed(indices_only, ids, jax.random.PRNGKey(1)):7.1f} ms")
+    print(f"{T}x index comp (scatter-free): {timed(make_indices_only(True), ids, jax.random.PRNGKey(1)):7.1f} ms")
+    print(f"{T}x index comp (legacy scatter): {timed(make_indices_only(False), ids, jax.random.PRNGKey(1)):7.1f} ms")
     print(f"{T}x row gather only:        {timed(gather_only, idx0):7.1f} ms")
     print(f"{T}x mixup only:             {timed(mixup_only, jax.random.PRNGKey(2)):7.1f} ms")
     print(f"{T}x full select_feats:      {timed(full_select, ids, jax.random.PRNGKey(3)):7.1f} ms")

@@ -1,0 +1,106 @@
+"""Compaction-matmul kernel vs the select_feats gather path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from murcl_tpu.data.bank import bank_from_arrays
+from murcl_tpu.ops.compact_pallas import gather_compact, gather_compact_xla
+from murcl_tpu.ops.select import select_feats, select_ranks
+
+DIM, K = 16, 4
+
+
+def _bank(rng, batch=6, min_n=10, max_n=120):
+    feats, clusters, labels = [], [], []
+    for _ in range(batch):
+        n = int(rng.integers(min_n, max_n + 1))
+        f = rng.normal(size=(n, DIM)).astype(np.float32)
+        a = rng.integers(0, K, size=n)
+        clusters.append([[int(i) for i in np.where(a == k)[0]] for k in range(K)])
+        feats.append(f)
+        labels.append(0)
+    return feats, clusters, bank_from_arrays(feats, clusters, labels)
+
+
+@pytest.mark.parametrize("seed,feat_size", [(0, 32), (1, 64), (2, 32)])
+def test_ranks_plus_golden_match_select_feats(seed, feat_size):
+    """select_ranks + the XLA golden compaction == select_feats exactly,
+    including zero padding and truncation."""
+    rng = np.random.default_rng(seed)
+    feats, clusters, bank = _bank(rng)
+    ids = jnp.arange(len(feats), dtype=jnp.int32)
+    actions = jnp.asarray(rng.random((len(feats), K)), jnp.float32)
+
+    want = select_feats(
+        bank.feats, ids, bank.offsets, bank.num_patches,
+        bank.cluster_tables, bank.cluster_sizes, actions,
+        feat_size=feat_size, max_patches=bank.max_patches,
+        patch_cluster=bank.patch_cluster, patch_pos=bank.patch_pos,
+    )
+    ranks, row_offs, valid = select_ranks(
+        ids, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
+        jnp.asarray(bank.cluster_sizes), actions,
+        jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
+        feat_size=feat_size,
+    )
+    got = gather_compact_xla(jnp.asarray(bank.feats), row_offs, ranks,
+                             feat_size)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # valid mask agrees with the nonzero structure select_feats produces
+    assert valid.shape == (len(feats), feat_size)
+
+
+def test_small_bag_padding_zero_rows():
+    """Bags smaller than feat_size: slots past the union count are exact
+    zeros (the kernel's rank==-1 no-match)."""
+    rng = np.random.default_rng(7)
+    feats, clusters, bank = _bank(rng, min_n=6, max_n=20)
+    ids = jnp.arange(len(feats), dtype=jnp.int32)
+    actions = jnp.asarray(rng.random((len(feats), K)), jnp.float32)
+    ranks, row_offs, valid = select_ranks(
+        ids, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
+        jnp.asarray(bank.cluster_sizes), actions,
+        jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
+        feat_size=64,
+    )
+    got = gather_compact_xla(jnp.asarray(bank.feats), row_offs, ranks, 64)
+    pad_rows = np.asarray(got)[~np.asarray(valid)]
+    np.testing.assert_array_equal(pad_rows, np.zeros_like(pad_rows))
+
+
+def test_pallas_kernel_matches_golden_interpret():
+    """The Pallas kernel (interpret mode) == the XLA golden, f32 and bf16."""
+    rng = np.random.default_rng(3)
+    feats, clusters, bank = _bank(rng, batch=5, min_n=40, max_n=120)
+    ids = jnp.asarray([0, 2, 1, 4, 3], jnp.int32)
+    actions = jnp.asarray(rng.random((5, K)), jnp.float32)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        bf = jnp.asarray(bank.feats, dtype)
+        ranks, row_offs, _ = select_ranks(
+            ids, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
+            jnp.asarray(bank.cluster_sizes), actions,
+            jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
+            feat_size=32,
+        )
+        want = gather_compact_xla(bf, row_offs, ranks, 32)
+        got = gather_compact(bf, row_offs, ranks, 32, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_bank_overallocation_invariant():
+    """Banks 8-align every slide offset (provable DMA alignment), reserve
+    max_patches rows past the last slide (the kernel's fixed window), and
+    keep every pad row exactly zero."""
+    rng = np.random.default_rng(11)
+    feats, clusters, bank = _bank(rng)
+    assert (np.asarray(bank.offsets) % 8 == 0).all()
+    last = int(bank.offsets[-1]) + int(bank.num_patches[-1])
+    assert bank.feats.shape[0] >= int(bank.offsets[-1]) + bank.max_patches
+    np.testing.assert_array_equal(bank.feats[last:], 0.0)
+    # inter-slide alignment pad rows are zeros too
+    for i in range(bank.num_slides - 1):
+        a = int(bank.offsets[i]) + int(bank.num_patches[i])
+        b = int(bank.offsets[i + 1])
+        np.testing.assert_array_equal(bank.feats[a:b], 0.0)

@@ -70,8 +70,13 @@ def test_wsi_with_cluster_item(synthetic_dataset):
 def test_build_bank(synthetic_dataset):
     bank = build_bank(synthetic_dataset["data_csv"])
     assert bank.num_slides == 8
-    assert bank.feats.shape[0] == int(bank.num_patches.sum())
-    assert bank.cluster_sizes.sum() == bank.feats.shape[0]
+    # feats 8-aligns every slide offset and over-allocates max_patches
+    # zero rows past the last slide (the compaction kernel's DMA window;
+    # ops/compact_pallas.py)
+    aligned = int(sum(-(-int(n) // 8) * 8 for n in bank.num_patches))
+    assert bank.feats.shape[0] == aligned + bank.max_patches
+    assert (bank.offsets % 8 == 0).all()
+    assert bank.cluster_sizes.sum() == int(bank.num_patches.sum())
     # cluster tables hold valid local indices
     for i in range(bank.num_slides):
         n = bank.num_patches[i]
