@@ -33,9 +33,10 @@ from murcl_tpu.engine.supervised import (
     AggTrainState,
     BankArrays,
     _materialize_subbags,
+    _use_compact,
 )
 from murcl_tpu.models.rlmil import PPO, PPOTrainState, PolicyStep, Rollout, act
-from murcl_tpu.ops.mixup import mixup
+from murcl_tpu.ops.mixup import mixup, mixup_factors
 from murcl_tpu.ops.ntxent_pallas import nt_xent_fused as nt_xent
 from murcl_tpu.ops.select import select_feats
 
@@ -131,16 +132,32 @@ class ContrastiveEngine:
             )
 
         both_ids = jnp.concatenate([slide_ids, slide_ids])
-        x = _materialize_subbags(
+        x_flat = _materialize_subbags(
             self.cfg, bank, jnp.tile(both_ids, t_steps),
             actions.reshape(t_steps * 2 * b, cfg.num_clusters),
-        ).reshape(t_steps, 2, b, cfg.feat_size, -1)
+        )
 
-        # mixup permutes within each (step, view) batch separately
-        mix_keys = jax.random.split(r_mix, t_steps * 2).reshape(t_steps, 2, -1)
-        mixed = jax.vmap(jax.vmap(
-            lambda k, xi: mixup(k, xi, cfg.alpha)[0]
-        ))(mix_keys, x)
+        # mixup permutes within each (step, view) batch separately. On the
+        # kernel path the partner bag is block-gathered in-kernel
+        # (mixup_rows) — XLA's permuted-copy + multiply-add chain costs
+        # ~22 ms/step at the canonical shape; same draws either way.
+        mix_keys = jax.random.split(r_mix, t_steps * 2)
+        if _use_compact(cfg, bank):
+            from murcl_tpu.ops.compact_pallas import mixup_rows
+
+            lams, perms = jax.vmap(
+                lambda k: mixup_factors(k, b, cfg.alpha)
+            )(mix_keys)  # (T*2, b, 1), (T*2, b)
+            base = jnp.arange(t_steps * 2, dtype=jnp.int32)[:, None] * b
+            mixed = mixup_rows(
+                x_flat, (perms.astype(jnp.int32) + base).reshape(-1),
+                lams.reshape(-1),
+            ).reshape(t_steps, 2, b, cfg.feat_size, -1)
+        else:
+            mixed = jax.vmap(jax.vmap(
+                lambda k, xi: mixup(k, xi, cfg.alpha)[0]
+            ))(mix_keys.reshape(t_steps, 2, -1),
+               x_flat.reshape(t_steps, 2, b, cfg.feat_size, -1))
 
         def encode_all(mixed_in):
             x2 = checkpoint_name(

@@ -40,6 +40,16 @@ from murcl_tpu.models.rlmil import PPO, PPOTrainState, PolicyStep, Rollout, act
 from murcl_tpu.ops.select import select_feats, select_ranks
 
 
+def _use_compact(cfg, bank) -> bool:
+    import jax as _jax
+
+    return (
+        cfg.select_impl == "auto"
+        and bank.patch_cluster is not None
+        and _jax.default_backend() == "tpu"
+    )
+
+
 def _materialize_subbags(cfg, bank, slide_ids, actions):
     """Gather the ``(B, feat_size, D)`` sub-bags for a flat batch.
 
@@ -49,14 +59,7 @@ def _materialize_subbags(cfg, bank, slide_ids, actions):
     scatter + per-row HBM gather + mask pass (~41 ms/step at the canonical
     shape). Identical outputs to :func:`select_feats`.
     """
-    import jax as _jax
-
-    use_compact = (
-        cfg.select_impl == "auto"
-        and bank.patch_cluster is not None
-        and _jax.default_backend() == "tpu"
-    )
-    if use_compact:
+    if _use_compact(cfg, bank):
         from murcl_tpu.ops.compact_pallas import gather_compact
 
         ranks, row_offs, _valid = select_ranks(

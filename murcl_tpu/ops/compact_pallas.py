@@ -100,6 +100,51 @@ def _make_kernel(n_max: int, tile: int, feat_size: int, d: int):
     return kernel
 
 
+def _mix_kernel(perm_ref, lam_ref, x_ref, xp_ref, out_ref):
+    # 1-lam in f32: Mosaic cannot legalize scalar bf16 arithmetic
+    lam32 = lam_ref[0, 0, 0]
+    lam = lam32.astype(x_ref.dtype)
+    om = (1.0 - lam32).astype(x_ref.dtype)
+    out_ref[0] = lam * x_ref[0] + om * xp_ref[0]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def mixup_rows(x, perm_abs, lam, interpret: bool = False):
+    """Bag-level mixup as a block-gather kernel: ``lam_i*x_i +
+    (1-lam_i)*x[perm_abs[i]]``.
+
+    XLA materializes the permuted copy and splits the mix into several
+    full passes over the (B, F, D) bags (~22 ms at the canonical pretrain
+    shape); here the partner bag is fetched directly via a scalar-prefetch
+    index map — read x twice, write once, nothing else. ``perm_abs`` holds
+    ABSOLUTE batch indices (the engine offsets each (step, view) group's
+    permutation). Same math as :func:`murcl_tpu.ops.mixup.mixup`.
+    """
+    b, f, d = x.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i, perm: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, f, d), lambda i, perm: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # the partner bag: same array, block index taken from the
+            # prefetched permutation
+            pl.BlockSpec((1, f, d), lambda i, perm: (perm[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, f, d), lambda i, perm: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _mix_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, f, d), x.dtype),
+        interpret=interpret,
+    )(perm_abs, lam.reshape(b, 1, 1).astype(jnp.float32), x, x)
+
+
 @partial(jax.jit, static_argnames=("feat_size", "interpret"))
 def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
                    interpret: bool = False):

@@ -104,3 +104,38 @@ def test_bank_overallocation_invariant():
         a = int(bank.offsets[i]) + int(bank.num_patches[i])
         b = int(bank.offsets[i + 1])
         np.testing.assert_array_equal(bank.feats[a:b], 0.0)
+
+
+def test_mixup_rows_matches_mixup_interpret():
+    """The block-gather mix kernel == ops.mixup.mixup exactly, per (step,
+    view) group with absolute permutation indices, f32 and bf16."""
+    from murcl_tpu.ops.compact_pallas import mixup_rows
+    from murcl_tpu.ops.mixup import mixup, mixup_factors
+
+    rng = np.random.default_rng(5)
+    groups, b, f, d = 3, 4, 8, 16
+    keys = jax.random.split(jax.random.PRNGKey(2), groups)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.normal(size=(groups, b, f, d)), dtype)
+        want = jnp.stack(
+            [mixup(keys[g], x[g], 0.9)[0] for g in range(groups)])
+        lams, perms = jax.vmap(lambda k: mixup_factors(k, b, 0.9))(keys)
+        base = jnp.arange(groups, dtype=jnp.int32)[:, None] * b
+        got = mixup_rows(
+            x.reshape(groups * b, f, d),
+            (perms.astype(jnp.int32) + base).reshape(-1),
+            lams.reshape(-1), interpret=True,
+        ).reshape(groups, b, f, d)
+        # same math up to rounding: the kernel computes (1-lam) in f32
+        # then casts (Mosaic cannot legalize scalar bf16 arithmetic), XLA
+        # natively in the bag dtype — one ulp on the weights, plus FMA
+        # contraction differences. A wrong permutation or lambda would be
+        # O(1) off.
+        if dtype == jnp.float32:
+            rtol, atol = 5e-5, 1e-6
+        else:
+            rtol, atol = 1e-2, 1e-2  # one bf16 ulp at |x| ~ 2
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=rtol, atol=atol,
+        )
