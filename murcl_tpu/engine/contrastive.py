@@ -248,12 +248,9 @@ class ContrastiveEngine:
             (view a then b) because its carry threads across views.
             """
             r_mix_a, r_mix_b, r_drop = jax.random.split(rng_t, 3)
-            x2 = select_feats(
-                bank.feats, both_ids, bank.offsets, bank.num_patches,
-                bank.cluster_tables, bank.cluster_sizes,
+            x2 = _materialize_subbags(
+                cfg, bank, both_ids,
                 jnp.concatenate([actions_a, actions_b]),
-                feat_size=cfg.feat_size, max_patches=cfg.max_patches,
-                patch_cluster=bank.patch_cluster, patch_pos=bank.patch_pos,
             )
             xa, _, _ = mixup(r_mix_a, x2[:b], cfg.alpha)
             xb, _, _ = mixup(r_mix_b, x2[b:], cfg.alpha)

@@ -303,12 +303,7 @@ class SupervisedEngine:
         mp, fcp = params["model"], params["fc"]
 
         def select(actions):
-            return select_feats(
-                bank.feats, slide_ids, bank.offsets, bank.num_patches,
-                bank.cluster_tables, bank.cluster_sizes, actions,
-                feat_size=cfg.feat_size, max_patches=cfg.max_patches,
-                patch_cluster=bank.patch_cluster, patch_pos=bank.patch_pos,
-            )
+            return _materialize_subbags(cfg, bank, slide_ids, actions)
 
         # remat: recompute each rollout step's aggregator activations in the
         # backward pass instead of keeping T steps of (B, feat_size, D)

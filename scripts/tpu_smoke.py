@@ -219,6 +219,48 @@ def main():
     assert dt_tiled <= dt_xla * 1.1, (
         f"tiled kernel regressed below XLA: {dt_tiled:.2f} vs {dt_xla:.2f} ms"
     )
+    # ---- compaction + mixup kernels (real DMA path, not interpret) --------
+    from murcl_tpu.data.bank import bank_from_arrays
+    from murcl_tpu.ops.compact_pallas import (
+        gather_compact,
+        gather_compact_xla,
+        mixup_rows,
+    )
+    from murcl_tpu.ops.mixup import mixup, mixup_factors
+    from murcl_tpu.ops.select import select_ranks
+
+    kk = 4
+    feats_l, clusters_l = [], []
+    for i in range(6):
+        n = int(rng.integers(150, 400))
+        fl = rng.normal(size=(n, F)).astype(np.float32)
+        a = rng.integers(0, kk, size=n)
+        clusters_l.append([[int(j) for j in np.where(a == c)[0]]
+                           for c in range(kk)])
+        feats_l.append(fl)
+    cbank = bank_from_arrays(feats_l, clusters_l, [0] * 6).device(
+        dtype=jnp.bfloat16)
+    ids = jnp.asarray([0, 3, 1, 5, 2, 4], jnp.int32)
+    acts = jnp.asarray(rng.random((6, kk)), jnp.float32)
+    ranks, row_offs, _ = select_ranks(
+        ids, cbank.offsets, cbank.num_patches, cbank.cluster_sizes, acts,
+        cbank.patch_cluster, cbank.patch_pos, feat_size=128)
+    got_c = gather_compact(cbank.feats, row_offs, ranks, 128)
+    want_c = gather_compact_xla(cbank.feats, row_offs, ranks, 128)
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+    print("compaction kernel (dynamic-offset DMA + one-hot matmul): OK")
+
+    key_m = jax.random.PRNGKey(11)
+    lam, perm = mixup_factors(key_m, 6, 0.9)
+    got_m = mixup_rows(got_c, perm.astype(jnp.int32), lam)
+    want_m = mixup(key_m, got_c, 0.9)[0]
+    err_m = float(jnp.abs(got_m.astype(jnp.float32)
+                          - want_m.astype(jnp.float32)).max())
+    # one bf16 ulp at the data's magnitude (f32 1-lam, see PARITY.md)
+    bound = float(jnp.abs(want_m.astype(jnp.float32)).max()) * 2.0 ** -7
+    assert err_m <= bound, (err_m, bound)
+    print(f"mixup block-gather kernel: OK (maxdiff {err_m:.4f} <= {bound:.4f})")
+
     print("TPU SMOKE: ALL OK")
 
 
