@@ -67,7 +67,8 @@ def _materialize_subbags(cfg, bank, slide_ids, actions):
             actions, bank.patch_cluster, bank.patch_pos,
             feat_size=cfg.feat_size,
         )
-        return gather_compact(bank.feats, row_offs, ranks, cfg.feat_size)
+        return gather_compact(bank.feats, row_offs, ranks, cfg.feat_size,
+                              num_patches=bank.num_patches[slide_ids])
     return select_feats(
         bank.feats, slide_ids, bank.offsets, bank.num_patches,
         bank.cluster_tables, bank.cluster_sizes, actions,

@@ -49,44 +49,36 @@ def gather_compact_xla(bank_feats, row_offsets, ranks, feat_size: int):
     return jax.vmap(one)(row_offsets, ranks)
 
 
-def _make_kernel(n_max: int, tile: int, feat_size: int, d: int):
+def _make_kernel_resident(n_max: int, tile: int, feat_size: int, d: int):
+    """One bag per program, whole (n_max, d) window resident in VMEM.
+
+    Faster than the tiled variant (one DMA per bag, no accumulator
+    round-trips) but VMEM-bound: only chosen when the double-buffered
+    window fits the budget (see :func:`gather_compact`).
+    """
     n_tiles = n_max // tile
 
-    def kernel(offs8_ref, ranks_ref, feats_hbm, out_ref, rows_buf, sems):
+    def kernel(offs8_ref, nump_ref, ranks_ref, feats_hbm, out_ref,
+               rows_buf, sems):
         i = pl.program_id(0)
         nb = pl.num_programs(0)
         slot = jax.lax.rem(i, 2)
 
-        # offsets arrive divided by 8 and are rescaled here: the HBM source
-        # is (8, 128)-tiled, and Mosaic must PROVE the slice start is
-        # sublane-aligned — `x * 8` is provable, a raw runtime value is not
-        # (the bank aligns every slide offset to 8; data/bank.py)
-        def row0(j):
-            return offs8_ref[j] * 8
+        def dma(bag, sl):
+            return pltpu.make_async_copy(
+                feats_hbm.at[pl.ds(offs8_ref[bag] * 8, n_max), :],
+                rows_buf.at[sl], sems.at[sl],
+            )
 
-        # double-buffered whole-window DMA: bag i's rows were started at
-        # step i-1 (or right here for i == 0); start bag i+1's now. The
-        # target slot's previous contents were consumed a full grid step
-        # ago, so overwriting is safe.
         @pl.when(i == 0)
         def _():
-            pltpu.make_async_copy(
-                feats_hbm.at[pl.ds(row0(0), n_max), :],
-                rows_buf.at[0], sems.at[0],
-            ).start()
+            dma(0, 0).start()
 
         @pl.when(i + 1 < nb)
         def _():
-            nxt = jax.lax.rem(i + 1, 2)
-            pltpu.make_async_copy(
-                feats_hbm.at[pl.ds(row0(i + 1), n_max), :],
-                rows_buf.at[nxt], sems.at[nxt],
-            ).start()
+            dma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
-        pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(row0(i), n_max), :],
-            rows_buf.at[slot], sems.at[slot],
-        ).wait()
+        dma(i, slot).wait()
 
         acc = jnp.zeros((feat_size, d), jnp.float32)
         iota_f = jax.lax.broadcasted_iota(jnp.int32, (feat_size, tile), 0)
@@ -96,6 +88,72 @@ def _make_kernel(n_max: int, tile: int, feat_size: int, d: int):
             oh = (iota_f == ranks_t).astype(rows_t.dtype)  # (F, tile)
             acc = acc + jnp.dot(oh, rows_t, preferred_element_type=jnp.float32)
         out_ref[0] = acc.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_kernel_tiled(n_max: int, tile: int, feat_size: int, d: int):
+    n_tiles = n_max // tile
+
+    def kernel(offs8_ref, nump_ref, ranks_ref, feats_hbm, out_ref,
+               rows_buf, acc_ref, sems):
+        i = pl.program_id(0)
+        t = pl.program_id(1)
+        nb = pl.num_programs(0)
+        li = i * n_tiles + t  # linearized (bag, tile) step
+        slot = jax.lax.rem(li, 2)
+
+        # a (bag, tile) step is LIVE when its tile starts before the
+        # slide's patch count: later tiles hold only rank=-1 rows, so both
+        # their DMA and their matmul are skipped (real slides vary 10x in
+        # patch count; Nmax is the split's maximum). The prefetch site one
+        # step earlier recomputes the same predicate from the prefetched
+        # scalars, so DMA starts and waits always pair up.
+        def live(bag, tl):
+            return tl * tile < nump_ref[bag]
+
+        # offsets arrive divided by 8 and are rescaled here: the HBM source
+        # is (8, 128)-tiled, and Mosaic must PROVE the slice start is
+        # sublane-aligned — `x * 8` is provable, a raw runtime value is not
+        # (the bank aligns every slide offset to 8; data/bank.py). tile is
+        # a multiple of 8, so the added tile offset keeps the proof.
+        def dma(bag, tl, sl):
+            return pltpu.make_async_copy(
+                feats_hbm.at[pl.ds(offs8_ref[bag] * 8 + tl * tile, tile), :],
+                rows_buf.at[sl], sems.at[sl],
+            )
+
+        # double-buffered per-tile DMA over the linearized grid: step li's
+        # tile was started at step li-1 (or right here at li == 0); start
+        # li+1's now. VMEM stays O(tile), independent of Nmax — buffering
+        # the whole window blows the 16 MB budget at real slide sizes.
+        @pl.when((li == 0) & live(0, 0))
+        def _():
+            dma(0, 0, 0).start()
+
+        nxt_i = jax.lax.div(li + 1, n_tiles)
+        nxt_t = jax.lax.rem(li + 1, n_tiles)
+
+        @pl.when((nxt_i < nb) & live(nxt_i, nxt_t))
+        def _():
+            dma(nxt_i, nxt_t, jax.lax.rem(li + 1, 2)).start()
+
+        @pl.when(t == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(live(i, t))
+        def _():
+            dma(i, t, slot).wait()
+            ranks_t = ranks_ref[0, :, pl.ds(t * tile, tile)]  # (1, tile)
+            iota_f = jax.lax.broadcasted_iota(jnp.int32, (feat_size, tile), 0)
+            oh = (iota_f == ranks_t).astype(rows_buf.dtype)  # (F, tile)
+            acc_ref[:] += jnp.dot(oh, rows_buf[slot],
+                                  preferred_element_type=jnp.float32)
+
+        @pl.when(t == n_tiles - 1)
+        def _():
+            out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
     return kernel
 
@@ -145,39 +203,74 @@ def mixup_rows(x, perm_abs, lam, interpret: bool = False):
     )(perm_abs, lam.reshape(b, 1, 1).astype(jnp.float32), x, x)
 
 
-@partial(jax.jit, static_argnames=("feat_size", "interpret"))
+@partial(jax.jit, static_argnames=("feat_size", "interpret", "variant"))
 def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
-                   interpret: bool = False):
+                   num_patches=None, interpret: bool = False,
+                   variant: str = "auto"):
     """Compact selected bank rows into ``(B, feat_size, D)`` sub-bags.
 
     ``bank_feats (P, D)`` (P over-allocated by Nmax rows), ``row_offsets
     (B,)`` int32 — each a multiple of 8 (slide offsets are sublane-aligned
     by the bank builders), ``ranks (B, Nmax)`` int32 with -1 for
-    unselected.
+    unselected. ``num_patches (B,)`` lets the kernel skip tiles past each
+    slide's patch count; omitted it assumes every tile may be live.
     """
     b, n_max = ranks.shape
     d = bank_feats.shape[1]
     tile = 256 if n_max % 256 == 0 else 128
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b,),
-        in_specs=[
-            # (B, 1, Nmax) so the block's last two dims equal the array's
-            # (the TPU lowering requires (8, 128)-divisible or full dims)
-            pl.BlockSpec((1, 1, n_max), lambda i, offs: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # bank stays in HBM
-        ],
-        out_specs=pl.BlockSpec((1, feat_size, d), lambda i, offs: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
+    n_tiles = n_max // tile
+    if num_patches is None:
+        num_patches = jnp.full((b,), n_max, jnp.int32)
+
+    # resident variant when the double-buffered window fits VMEM (faster:
+    # one DMA per bag, no accumulator round-trips); tiled otherwise —
+    # real slide sizes (Nmax 10k+) would need 20+ MB resident
+    window_bytes = 2 * n_max * d * bank_feats.dtype.itemsize
+    if variant == "auto":
+        resident = window_bytes <= 8 * 1024 * 1024
+    else:
+        resident = variant == "resident"
+
+    in_specs = [
+        # (B, 1, Nmax) so the block's last two dims equal the array's
+        # (the TPU lowering requires (8, 128)-divisible or full dims)
+        pl.BlockSpec((1, 1, n_max),
+                     (lambda i, offs, nump: (i, 0, 0)) if resident
+                     else (lambda i, t, offs, nump: (i, 0, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # bank stays in HBM
+    ]
+    out_spec = pl.BlockSpec(
+        (1, feat_size, d),
+        (lambda i, offs, nump: (i, 0, 0)) if resident
+        else (lambda i, t, offs, nump: (i, 0, 0)),
+        memory_space=pltpu.VMEM)
+    if resident:
+        grid: tuple = (b,)
+        kernel = _make_kernel_resident(n_max, tile, feat_size, d)
+        scratch = [
             pltpu.VMEM((2, n_max, d), bank_feats.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+    else:
+        grid = (b, n_tiles)
+        kernel = _make_kernel_tiled(n_max, tile, feat_size, d)
+        scratch = [
+            pltpu.VMEM((2, tile, d), bank_feats.dtype),
+            pltpu.VMEM((feat_size, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        _make_kernel(n_max, tile, feat_size, d),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, feat_size, d), bank_feats.dtype),
         interpret=interpret,
-    )(row_offsets // 8, ranks.reshape(b, 1, n_max), bank_feats)
+    )(row_offsets // 8, num_patches.astype(jnp.int32),
+      ranks.reshape(b, 1, n_max), bank_feats)

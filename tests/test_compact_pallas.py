@@ -139,3 +139,31 @@ def test_mixup_rows_matches_mixup_interpret():
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=rtol, atol=atol,
         )
+
+
+def test_pallas_kernel_multi_tile_ragged_interpret():
+    """Multi-tile windows with very ragged bags: tile skipping (tiles past
+    each slide's patch count) must not change the output."""
+    rng = np.random.default_rng(13)
+    # Nmax = 768 -> 3 tiles of 256 at DIM features; bags span 30..700
+    feats, clusters, bank = _bank(rng, batch=7, min_n=30, max_n=700)
+    ids = jnp.asarray([0, 6, 3, 1, 5, 2, 4], jnp.int32)
+    actions = jnp.asarray(rng.random((7, K)), jnp.float32)
+    ranks, row_offs, _ = select_ranks(
+        ids, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
+        jnp.asarray(bank.cluster_sizes), actions,
+        jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
+        feat_size=96,
+    )
+    nump = jnp.asarray(bank.num_patches)[ids]
+    want = gather_compact_xla(jnp.asarray(bank.feats), row_offs, ranks, 96)
+    for variant in ("resident", "tiled"):
+        got = gather_compact(jnp.asarray(bank.feats), row_offs, ranks, 96,
+                             num_patches=nump, interpret=True,
+                             variant=variant)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=variant)
+    # and without the skip hint
+    got2 = gather_compact(jnp.asarray(bank.feats), row_offs, ranks, 96,
+                          interpret=True, variant="tiled")
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
