@@ -117,6 +117,9 @@ def run(args) -> dict:
         train_stage=args.train_stage, num_classes=args.projection_dim,
         alpha=args.alpha, temperature=args.temperature, batch_size=args.batch_size,
         compute_dtype=getattr(args, "compute_dtype", "float32"),
+        remat=getattr(args, "remat", "save_subbag"),
+        stage1_layout=getattr(args, "stage1_layout", "batched"),
+        select_impl=getattr(args, "select_impl", "auto"),
     )
     engine = ContrastiveEngine(cfg, model, fc, ppo=ppo, tx=tx)
 
@@ -263,6 +266,7 @@ def default_args(**overrides) -> SimpleNamespace:
         use_tensorboard=False, profile=0,
         base_save_dir="./results", save_dir=None, save_dir_flag=None,
         exist_ok=False, device="0", seed=985, compute_dtype="float32", rng_impl="threefry", resume=False,
+        remat="save_subbag", stage1_layout="batched", select_impl="auto",
         streaming=False,
     )
     for k, v in overrides.items():

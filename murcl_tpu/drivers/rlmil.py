@@ -156,6 +156,9 @@ def run(args) -> dict:
         train_stage=args.train_stage, num_classes=args.num_classes,
         bag_weight=args.bag_weight, train_model_prime=args.train_model_prime,
         compute_dtype=getattr(args, "compute_dtype", "float32"),
+        remat=getattr(args, "remat", "save_subbag"),
+        stage1_layout=getattr(args, "stage1_layout", "batched"),
+        select_impl=getattr(args, "select_impl", "auto"),
     )
     engine = SupervisedEngine(cfg, model, fc, ppo=ppo, tx=tx)
 
@@ -435,6 +438,7 @@ def default_args(**overrides) -> SimpleNamespace:
         exist_ok=False, save_model=False, device="0", seed=985,
         train_model_prime=True, eval_batch_pad=1, streaming=False,
         compute_dtype="float32", profile=0, rng_impl="threefry", resume=False,
+        remat="save_subbag", stage1_layout="batched", select_impl="auto",
     )
     for k, v in overrides.items():
         setattr(ns, k, v)

@@ -100,6 +100,15 @@ def main():
     parser.add_argument('--rng_impl', type=str, default='threefry',
                         choices=['threefry', 'rbg'],
                         help="JAX PRNG impl; rbg is ~25%% faster at dropout>0 on TPU")
+    parser.add_argument('--remat', type=str, default='save_subbag',
+                        choices=['save_subbag', 'none'],
+                        help='rollout rematerialization (none is fastest with the fused kernels)')
+    parser.add_argument('--stage1_layout', type=str, default='batched',
+                        choices=['batched', 'sequential'],
+                        help='stage-1 rollout layout (batched folds all T steps into one program)')
+    parser.add_argument('--select_impl', type=str, default='auto',
+                        choices=['auto', 'xla'],
+                        help='sub-bag materialization (auto uses the Pallas compaction kernel on TPU)')
     args = parser.parse_args()
     rlmil.run(args)
 
