@@ -66,14 +66,27 @@ class StreamingSource:
         return self.stream.iter_epoch(list(id_list), prefetch=1)
 
 
-def build_sources(data_csv, split_indices: dict, streaming: bool = False):
-    """Build one source per split with shared static shapes."""
+def build_sources(data_csv, split_indices: dict, streaming: bool = False,
+                  feats_dtype=None):
+    """Build one source per split with shared static shapes.
+
+    ``feats_dtype`` stores the resident bank's features in that dtype
+    (e.g. bfloat16 when the engines compute in bfloat16 — halves the
+    selection kernels' HBM traffic; the engines cast sub-bags to the
+    compute dtype right after selection either way, and gather-then-cast
+    equals cast-then-gather).
+    """
+    if feats_dtype is not None and isinstance(feats_dtype, str):
+        import jax.numpy as jnp
+
+        feats_dtype = {"bfloat16": jnp.bfloat16, "float32": None}[feats_dtype]
     if not streaming:
         banks = harmonize_banks({
             name: build_bank(data_csv, indices=idx)
             for name, idx in split_indices.items()
         })
-        return {name: ResidentSource(b.device()) for name, b in banks.items()}
+        return {name: ResidentSource(b.device(dtype=feats_dtype))
+                for name, b in banks.items()}
     streams = {
         name: StreamingBank(data_csv, indices=idx)
         for name, idx in split_indices.items()

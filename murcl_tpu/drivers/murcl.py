@@ -76,6 +76,9 @@ def run(args) -> dict:
     src = build_sources(
         args.data_csv, {"train": indices},
         streaming=getattr(args, "streaming", False),
+        feats_dtype=("bfloat16"
+                     if getattr(args, "compute_dtype", "float32") == "bfloat16"
+                     else None),
     )["train"]
     args.num_clusters = src.num_clusters
     dim_patch = src.patch_dim

@@ -63,6 +63,9 @@ def _build_sources(args):
             "valid": indices["valid"],
             "test": indices["test"],
         },
+        feats_dtype=("bfloat16"
+                     if getattr(args, "compute_dtype", "float32") == "bfloat16"
+                     else None),
         streaming=getattr(args, "streaming", False),
     )
 

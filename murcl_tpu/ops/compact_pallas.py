@@ -224,10 +224,13 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
 
     # resident variant when the double-buffered window fits VMEM (faster:
     # one DMA per bag, no accumulator round-trips); tiled otherwise —
-    # real slide sizes (Nmax 10k+) would need 20+ MB resident
+    # real slide sizes (Nmax 10k+) would need 20+ MB resident. The budget
+    # leaves room for the unrolled tile loop's live one-hot/partial-sum
+    # intermediates: a 7.3 MB f32 window compiled to a 24.4 MB scoped
+    # allocation and OOMed the 16 MB limit (measured; 4 MB bf16 fits)
     window_bytes = 2 * n_max * d * bank_feats.dtype.itemsize
     if variant == "auto":
-        resident = window_bytes <= 8 * 1024 * 1024
+        resident = window_bytes <= 5 * 1024 * 1024
     else:
         resident = variant == "resident"
 
