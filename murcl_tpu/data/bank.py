@@ -45,6 +45,16 @@ def _patch_cluster_pos(
     for k, cluster in enumerate(cluster_lists):
         if cluster:
             idxs = np.asarray(cluster, dtype=np.int64)
+            if np.any(pos[idxs] >= 0):
+                # the inverse table stores ONE (cluster, pos) per patch; a
+                # patch in two clusters would silently under-select vs the
+                # scatter-max oracle. K-means output is disjoint by
+                # construction (features_clustering.py:10-16) — enforce it.
+                raise ValueError(
+                    f"cluster lists overlap (patch appears in cluster {k} "
+                    "and an earlier one); sub-bag selection requires "
+                    "disjoint clusters"
+                )
             cid[idxs] = k
             pos[idxs] = np.arange(len(cluster), dtype=np.int32)
     return cid, pos

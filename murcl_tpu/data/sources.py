@@ -79,7 +79,13 @@ def build_sources(data_csv, split_indices: dict, streaming: bool = False,
     if feats_dtype is not None and isinstance(feats_dtype, str):
         import jax.numpy as jnp
 
-        feats_dtype = {"bfloat16": jnp.bfloat16, "float32": None}[feats_dtype]
+        supported = {"bfloat16": jnp.bfloat16, "float32": None}
+        if feats_dtype not in supported:
+            raise ValueError(
+                f"feats_dtype must be one of {sorted(supported)} (got "
+                f"{feats_dtype!r})"
+            )
+        feats_dtype = supported[feats_dtype]
     if not streaming:
         banks = harmonize_banks({
             name: build_bank(data_csv, indices=idx)

@@ -43,15 +43,19 @@ from murcl_tpu.utils.general import (
 
 
 def _arch_setting(args) -> dict:
+    # --attn_gate_math exact restores library tanh/sigmoid inside the TPU
+    # kernels (PARITY.md); default is the relaxed-ulp rational gates
+    gm = getattr(args, "attn_gate_math", "approx")
     if args.arch == "ABMIL":
         # MuRCL sizes ABMIL with L=model_dim and projection-dim output head
         # (train_MuRCL.py:74-80)
         return {"L": args.model_dim, "D": args.D, "dropout": args.dropout,
-                "dim_out": args.projection_dim}
+                "dim_out": args.projection_dim, "attn_gate_math": gm}
     if args.arch == "CLAM_SB":
         # gate/dropout(0.25)/subtyping hardcoded (train_MuRCL.py:82-91)
         return {"gate": True, "size_arg": args.size_arg, "dropout": 0.25,
-                "k_sample": args.k_sample, "subtyping": True}
+                "k_sample": args.k_sample, "subtyping": True,
+                "attn_gate_math": gm}
     raise ValueError(args.arch)
 
 
@@ -270,6 +274,7 @@ def default_args(**overrides) -> SimpleNamespace:
         base_save_dir="./results", save_dir=None, save_dir_flag=None,
         exist_ok=False, device="0", seed=985, compute_dtype="float32", rng_impl="threefry", resume=False,
         remat="save_subbag", stage1_layout="batched", select_impl="auto",
+        attn_gate_math="approx",
         streaming=False,
     )
     for k, v in overrides.items():

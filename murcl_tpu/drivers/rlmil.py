@@ -71,14 +71,18 @@ def _build_sources(args):
 
 
 def _arch_setting(args) -> dict:
+    # --attn_gate_math exact restores library tanh/sigmoid inside the TPU
+    # kernels (PARITY.md); default is the relaxed-ulp rational gates
+    gm = getattr(args, "attn_gate_math", "approx")
     if args.arch == "ABMIL":
         return {"L": args.L, "D": args.D, "dropout": args.dropout,
-                "dim_out": args.num_classes}
+                "dim_out": args.num_classes, "attn_gate_math": gm}
     if args.arch == "CLAM_SB":
         # reference hardcodes gate/dropout(0.25)/subtyping for downstream
         # CLAM (train_RLMIL.py:104-112)
         return {"gate": True, "size_arg": args.size_arg, "dropout": 0.25,
-                "k_sample": args.k_sample, "subtyping": True}
+                "k_sample": args.k_sample, "subtyping": True,
+                "attn_gate_math": gm}
     return {}
 
 
@@ -442,6 +446,7 @@ def default_args(**overrides) -> SimpleNamespace:
         train_model_prime=True, eval_batch_pad=1, streaming=False,
         compute_dtype="float32", profile=0, rng_impl="threefry", resume=False,
         remat="save_subbag", stage1_layout="batched", select_impl="auto",
+        attn_gate_math="approx",
     )
     for k, v in overrides.items():
         setattr(ns, k, v)

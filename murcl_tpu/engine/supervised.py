@@ -131,6 +131,11 @@ class SupervisedEngine:
         if cfg.train_stage != 2 and tx is None:
             raise ValueError("stages 1/3 require an optimizer")
         self.cfg = cfg
+        # parameters-only differentiation (the bag input is data): skip the
+        # fused backward's dead (B, N, Fin) input-gradient matmul + HBM
+        # write, same guard as ContrastiveEngine
+        if getattr(model, "attn_input_grad", False):
+            model = model.clone(attn_input_grad=False)
         self.model = model
         self.fc = fc
         self.ppo = ppo

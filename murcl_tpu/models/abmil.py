@@ -64,6 +64,7 @@ class ABMIL(nn.Module):
     dim_out: int = 2
     dropout: float = 0.0
     attn_impl: str = "auto"  # auto | xla | pallas (fused attention pooling)
+    attn_gate_math: str = "approx"  # see clam.AttentionPool.gate_math
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, train: bool = False):
@@ -76,7 +77,7 @@ class ABMIL(nn.Module):
         # ABMIL has no attention dropout, so the fused path also trains
         pooled, weights, _scores = AttentionPool(
             D=self.D, gated=False, impl=self.attn_impl, init="torch",
-            name="attn",
+            gate_math=self.attn_gate_math, name="attn",
         )(h, mask=mask, train=train)
         # post-softmax 1/sqrt(N) scaling (abmil.py:41); linear in the pool,
         # so scaling the pooled vector is exact

@@ -90,6 +90,12 @@ class AttentionPool(nn.Module):
     # only when callers differentiate parameters, never the bag — the
     # training engines clone their model with this off
     input_grad: bool = True
+    # gate transcendentals inside the Pallas kernels: "approx" = relaxed-ulp
+    # rational tanh/sigmoid (abs err <= ~1e-3, invisible after the bf16
+    # activation cast — see ops/attention_pallas.fast_tanh). The XLA path
+    # (CPU, fallback) always computes exactly. PARITY.md documents the
+    # deviation; "exact" restores library transcendentals in-kernel.
+    gate_math: str = "exact"  # exact | approx
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False, trunk=None):
@@ -148,7 +154,7 @@ class AttentionPool(nn.Module):
                 return fused_trunk_attention_pool(
                     x, wf, bf, wa, ba, wb, bb, wc[:, 0], bc[0], mask=mask,
                     impl="pallas", gated=self.gated, dropout=rate, seed=seed,
-                    input_grad=self.input_grad,
+                    input_grad=self.input_grad, gate_math=self.gate_math,
                 )
             # unfused fallback (CPU, init trace, oversized bags): trunk in
             # XLA, then the standard attention path below
@@ -170,6 +176,7 @@ class AttentionPool(nn.Module):
             return gated_attention_pool(
                 x, wa, ba, wb, bb, wc[:, 0], bc[0], mask=mask,
                 impl="pallas", gated=self.gated, dropout=rate, seed=seed,
+                gate_math=self.gate_math,
             )
 
         # XLA path (CPU, init trace, or impl='xla'): explicit gates with
@@ -213,6 +220,7 @@ class CLAM_SB(nn.Module):
     subtyping: bool = False
     attn_impl: str = "auto"  # auto | xla | pallas (fused attention pooling)
     attn_input_grad: bool = True  # see AttentionPool.input_grad
+    attn_gate_math: str = "approx"  # see AttentionPool.gate_math
 
     @nn.compact
     def __call__(
@@ -227,7 +235,8 @@ class CLAM_SB(nn.Module):
         wf, bf = _TrunkParams(dim_in=h.shape[-1], features=l1, name="fc")()
         pool = AttentionPool(
             D=l2, gated=self.gate, dropout=self.dropout, impl=self.attn_impl,
-            input_grad=self.attn_input_grad, name="attn",
+            input_grad=self.attn_input_grad, gate_math=self.attn_gate_math,
+            name="attn",
         )
         if instance_eval:
             # the instance branch gathers trunk-output rows; keep the trunk

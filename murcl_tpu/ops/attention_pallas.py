@@ -36,6 +36,62 @@ _NEG_INF = -1e30
 
 
 # ---------------------------------------------------------------------------
+# Relaxed-ulp gate transcendentals
+# ---------------------------------------------------------------------------
+# The gate math tanh(x@Wa+ba) * sigmoid(x@Wb+bb) (reference clam.py:43-47)
+# is VPU-transcendental-bound at the canonical pretrain shape: ~0.8G
+# tanh+sigmoid evaluations per step dominate the fused kernels (BASELINE.md
+# per-op profile: fwd 15.3 ms vs ~4 ideal, bwd 32.7 vs ~10). The gate
+# activations are cast to the bag dtype (bfloat16, eps ~= 3.9e-3)
+# immediately after evaluation, so any approximation whose error is well
+# under half a bf16 ulp of the exact value is invisible downstream.
+#
+# ``fast_tanh`` is a minimax-fitted (2,2) rational in x**2 on [0, 4.2]
+# (max abs error 1.5e-5) with saturation clamping (|tanh(4.2)-1| = 4.5e-4)
+# — total abs error <= ~5e-4 exact-division, <= ~8e-4 with the approximate
+# hardware reciprocal, an order of magnitude under bf16 visibility.
+# ``fast_sigmoid`` shares it via sigmoid(x) = 0.5*tanh(x/2) + 0.5 (error
+# halves). ~9 VPU ops vs the library's wide rational.
+_TANH_P = (0.9999301777, 0.1042799335, 7.358176706e-04)
+_TANH_Q = (0.4373807867, 1.342501468e-02)
+_TANH_CLAMP = 4.2
+
+
+def fast_tanh(x, approx_recip: bool = False):
+    """Minimax (2,2) rational tanh; abs err <= ~5e-4 (8e-4 approx-recip).
+
+    ``approx_recip=True`` uses the TPU's hardware reciprocal estimate
+    (``pl.reciprocal(..., approx=True)``) — only legal inside a Pallas
+    kernel; the default divides exactly and runs anywhere.
+    """
+    xc = jnp.clip(x, -_TANH_CLAMP, _TANH_CLAMP)
+    y = xc * xc
+    p = _TANH_P[0] + y * (_TANH_P[1] + y * _TANH_P[2])
+    q = 1.0 + y * (_TANH_Q[0] + y * _TANH_Q[1])
+    num = xc * p
+    if approx_recip:
+        return num * pl.reciprocal(q, approx=True)
+    return num / q
+
+
+def fast_sigmoid(x, approx_recip: bool = False):
+    """sigmoid via the shared tanh rational; abs err <= ~4e-4."""
+    return 0.5 * fast_tanh(0.5 * x, approx_recip=approx_recip) + 0.5
+
+
+def _gate_fns(gate_math: str, in_kernel: bool = True):
+    """(tanh_fn, sigmoid_fn) for a ``gate_math`` mode (``exact | approx``)."""
+    if gate_math == "exact":
+        return jnp.tanh, jax.nn.sigmoid
+    if gate_math == "approx":
+        return (
+            lambda x: fast_tanh(x, approx_recip=in_kernel),
+            lambda x: fast_sigmoid(x, approx_recip=in_kernel),
+        )
+    raise ValueError(f"gate_math must be 'exact' or 'approx', got {gate_math!r}")
+
+
+# ---------------------------------------------------------------------------
 # Plain-XLA reference (default on CPU; golden model for the kernel)
 # ---------------------------------------------------------------------------
 def gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask=None,
@@ -91,16 +147,18 @@ def _dropout_masks(seed, rate: float, shape, gated: bool):
     return keep_a, keep_b, scale
 
 
-def _make_fwd_kernel(gated: bool, dropout: float):
+def _make_fwd_kernel(gated: bool, dropout: float, gate_math: str = "exact"):
+    tanh_fn, sigmoid_fn = _gate_fns(gate_math)
+
     def kernel(x_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
                mask_ref, seed_ref, m_ref, p_ref, s_ref):
         x = x_ref[0]  # (N, F), f32 or bf16 — dots accumulate in f32
-        a = jnp.tanh(
+        a = tanh_fn(
             jnp.dot(x, wa_ref[:].astype(x.dtype),
                     preferred_element_type=jnp.float32) + ba_ref[0]
         )
         if gated:
-            g = jax.nn.sigmoid(
+            g = sigmoid_fn(
                 jnp.dot(x, wb_ref[:].astype(x.dtype),
                         preferred_element_type=jnp.float32) + bb_ref[0]
             )
@@ -127,11 +185,11 @@ def _make_fwd_kernel(gated: bool, dropout: float):
 
 
 def _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, seed, gated: bool,
-                dropout: float):
+                dropout: float, gate_math: str = "exact"):
     b, n, f = x.shape
     d = wa.shape[1]
     m, p, s = pl.pallas_call(
-        _make_fwd_kernel(gated, dropout),
+        _make_fwd_kernel(gated, dropout, gate_math),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -162,7 +220,9 @@ def _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, seed, gated: bool,
 # ---------------------------------------------------------------------------
 # Backward kernel
 # ---------------------------------------------------------------------------
-def _make_bwd_kernel(gated: bool, dropout: float):
+def _make_bwd_kernel(gated: bool, dropout: float, gate_math: str = "exact"):
+    tanh_fn, sigmoid_fn = _gate_fns(gate_math)
+
     def kernel(x_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref,
                mask_ref, seed_ref, p_ref, gm_ref, gp_ref, gs_ref,
                dx_ref, dwa_ref, dba_ref, dwb_ref, dbb_ref, dwc_ref, dbc_ref):
@@ -184,12 +244,12 @@ def _make_bwd_kernel(gated: bool, dropout: float):
 
         # recompute gates (VMEM-resident, one fused pass); the same seed
         # regenerates the exact dropout masks of the forward pass
-        a = jnp.tanh(
+        a = tanh_fn(
             jnp.dot(x, wa_ref[:].astype(x.dtype),
                     preferred_element_type=jnp.float32) + ba_ref[0]
         )
         if gated:
-            g = jax.nn.sigmoid(
+            g = sigmoid_fn(
                 jnp.dot(x, wb_ref[:].astype(x.dtype),
                         preferred_element_type=jnp.float32) + bb_ref[0]
             )
@@ -255,11 +315,11 @@ def _make_bwd_kernel(gated: bool, dropout: float):
 
 
 def _bwd_pallas(x, wa, ba, wb, bb, wc, mask, seed, p, gm, gp, gs,
-                gated: bool, dropout: float):
+                gated: bool, dropout: float, gate_math: str = "exact"):
     b, n, f = x.shape
     d = wa.shape[1]
     outs = pl.pallas_call(
-        _make_bwd_kernel(gated, dropout),
+        _make_bwd_kernel(gated, dropout, gate_math),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -303,20 +363,23 @@ def _bwd_pallas(x, wa, ba, wb, bb, wc, mask, seed, p, gm, gp, gs,
 # ---------------------------------------------------------------------------
 # custom_vjp wrappers (one per gating mode; `gated` must be static)
 # ---------------------------------------------------------------------------
-def _make_op(gated: bool, dropout: float):
+def _make_op(gated: bool, dropout: float, gate_math: str = "exact"):
     @jax.custom_vjp
     def op(x, wa, ba, wb, bb, wc, bc, mask, seed):
-        return _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, seed, gated, dropout)
+        return _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, seed, gated,
+                           dropout, gate_math)
 
     def fwd(x, wa, ba, wb, bb, wc, bc, mask, seed):
-        m, p, s = _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, seed, gated, dropout)
+        m, p, s = _fwd_pallas(x, wa, ba, wb, bb, wc, bc, mask, seed, gated,
+                              dropout, gate_math)
         return (m, p, s), (x, wa, ba, wb, bb, wc, mask, seed, p)
 
     def bwd(res, cot):
         x, wa, ba, wb, bb, wc, mask, seed, p = res
         gm, gp, gs = cot
         dx, dwa, dba, dwb, dbb, dwc, dbc = _bwd_pallas(
-            x, wa, ba, wb, bb, wc, mask, seed, p, gm, gp, gs, gated, dropout
+            x, wa, ba, wb, bb, wc, mask, seed, p, gm, gp, gs, gated, dropout,
+            gate_math
         )
         return dx, dwa, dba, dwb, dbb, dwc, dbc, None, None
 
@@ -327,21 +390,27 @@ def _make_op(gated: bool, dropout: float):
 _OPS: dict = {}
 
 
-def _get_op(gated: bool, dropout: float):
-    key = (gated, float(dropout))
+def _get_op(gated: bool, dropout: float, gate_math: str = "exact"):
+    key = (gated, float(dropout), gate_math)
     if key not in _OPS:
-        _OPS[key] = _make_op(gated, float(dropout))
+        _OPS[key] = _make_op(gated, float(dropout), gate_math)
     return _OPS[key]
 
 
 def gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=None,
                          impl: str = "auto", gated: bool = True,
-                         dropout: float = 0.0, seed=None):
+                         dropout: float = 0.0, seed=None,
+                         gate_math: str = "exact"):
     """Fused attention pooling; picks Pallas on TPU, XLA elsewhere.
 
     ``dropout > 0`` applies inverted dropout to the gate activations inside
     the kernel using the on-chip PRNG seeded by ``seed`` (+bag index); the
     backward regenerates the same masks. Returns ``(M (B,F), p, s)``.
+
+    ``gate_math='approx'`` evaluates the tanh/sigmoid gates with the
+    relaxed-ulp rationals (:func:`fast_tanh`) inside the Pallas kernels —
+    abs err <= ~1e-3, invisible after the bf16 activation cast. The XLA
+    path always computes exactly (it is the golden reference).
     """
     if mask is None:
         mask = jnp.ones(x.shape[:2], dtype=bool)
@@ -360,9 +429,10 @@ def gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=None,
                 impl = "xla"
             else:
                 return attention_pool_tiled(x, wa, ba, wb, bb, wc, bc,
-                                            mask=mask, gated=gated)
+                                            mask=mask, gated=gated,
+                                            gate_math=gate_math)
     if impl == "pallas":
-        op = _get_op(gated, dropout)
+        op = _get_op(gated, dropout, gate_math)
         if seed is None:
             seed = jnp.zeros((), jnp.int32)
         return op(
@@ -411,7 +481,10 @@ def _dropout_masks_trunk(seed, rate: float, shape_x, shape_g, gated: bool,
     return keep_x, keep_a, keep_b, scale
 
 
-def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float):
+def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float,
+                                 gate_math: str = "exact"):
+    tanh_fn, sigmoid_fn = _gate_fns(gate_math)
+
     def kernel(h_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
                wc_ref, bc_ref, mask_ref, seed_ref, m_ref, p_ref, s_ref):
         # bag-dtype discipline throughout (relu/dropout/gate products in
@@ -433,12 +506,12 @@ def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float):
             scale_c = jnp.asarray(scale, jnp.float32).astype(h.dtype)
             x = x * keep_x * scale_c
         xc = x
-        a = jnp.tanh(
+        a = tanh_fn(
             jnp.dot(xc, wa_ref[:].astype(xc.dtype),
                     preferred_element_type=jnp.float32) + ba_ref[0]
         ).astype(h.dtype)
         if gated:
-            g = jax.nn.sigmoid(
+            g = sigmoid_fn(
                 jnp.dot(xc, wb_ref[:].astype(xc.dtype),
                         preferred_element_type=jnp.float32) + bb_ref[0]
             ).astype(h.dtype)
@@ -463,7 +536,10 @@ def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float):
 
 
 def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float,
-                                 need_dh: bool = True):
+                                 need_dh: bool = True,
+                                 gate_math: str = "exact"):
+    tanh_fn, sigmoid_fn = _gate_fns(gate_math)
+
     def kernel(h_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
                wc_ref, mask_ref, seed_ref, p_ref, gm_ref, gp_ref, gs_ref,
                *out_refs):
@@ -498,7 +574,9 @@ def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float,
         # relu indicator are stored as exact 0/1 values in the bag dtype
         # and applied multiplicatively — bitwise-identical to the
         # forward's where(mask, v*scale, 0) for f32 v — and the dx chain
-        # runs in the bag dtype.
+        # runs in the bag dtype. With gate_math='approx' the recompute uses
+        # the same rational the forward used, so a/g (and hence the
+        # derivative formulas below) are self-consistent.
         z = jnp.dot(h, wf_ref[:].astype(h.dtype),
                     preferred_element_type=jnp.float32) + bf_ref[0]
         relu_pos = (z > 0).astype(h.dtype)  # 0/1 indicator
@@ -516,12 +594,12 @@ def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float,
         # gate recompute in the bag dtype: with bf16 bags this halves ~8 MB
         # of (N, D)/(N, L1) intermediates — remat-in-bf16, standard TPU
         # practice; which units were dropped stays exact (masks are 0/1)
-        a = jnp.tanh(
+        a = tanh_fn(
             jnp.dot(xc, wa_ref[:].astype(xc.dtype),
                     preferred_element_type=jnp.float32) + ba_ref[0]
         ).astype(h.dtype)
         if gated:
-            g = jax.nn.sigmoid(
+            g = sigmoid_fn(
                 jnp.dot(xc, wb_ref[:].astype(xc.dtype),
                         preferred_element_type=jnp.float32) + bb_ref[0]
             ).astype(h.dtype)
@@ -594,12 +672,13 @@ def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float,
 
 
 def _fused_trunk_fwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed,
-                            gated: bool, dropout: float):
+                            gated: bool, dropout: float,
+                            gate_math: str = "exact"):
     b, n, fin = h.shape
     l1 = wf.shape[1]
     d = wa.shape[1]
     m, p, s = pl.pallas_call(
-        _make_fused_trunk_fwd_kernel(gated, dropout),
+        _make_fused_trunk_fwd_kernel(gated, dropout, gate_math),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, fin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -632,12 +711,12 @@ def _fused_trunk_fwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed,
 
 def _fused_trunk_bwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p,
                             gm, gp, gs, gated: bool, dropout: float,
-                            need_dh: bool = True):
+                            need_dh: bool = True, gate_math: str = "exact"):
     b, n, fin = h.shape
     l1 = wf.shape[1]
     d = wa.shape[1]
     outs = pl.pallas_call(
-        _make_fused_trunk_bwd_kernel(gated, dropout, need_dh),
+        _make_fused_trunk_bwd_kernel(gated, dropout, need_dh, gate_math),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, fin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -693,15 +772,17 @@ def _fused_trunk_bwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p,
     return dh, dwf, dbf[0], dwa, dba[0], dwb, dbb[0], dwc[:, 0], dbc[0, 0]
 
 
-def _make_fused_trunk_op(gated: bool, dropout: float, input_grad: bool = True):
+def _make_fused_trunk_op(gated: bool, dropout: float, input_grad: bool = True,
+                         gate_math: str = "exact"):
     @jax.custom_vjp
     def op(h, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed):
         return _fused_trunk_fwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, bc,
-                                       mask, seed, gated, dropout)
+                                       mask, seed, gated, dropout, gate_math)
 
     def fwd(h, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed):
         m, p, s = _fused_trunk_fwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, bc,
-                                          mask, seed, gated, dropout)
+                                          mask, seed, gated, dropout,
+                                          gate_math)
         return (m, p, s), (h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p)
 
     def bwd(res, cot):
@@ -709,7 +790,7 @@ def _make_fused_trunk_op(gated: bool, dropout: float, input_grad: bool = True):
         gm, gp, gs = cot
         dh, dwf, dbf, dwa, dba, dwb, dbb, dwc, dbc = _fused_trunk_bwd_pallas(
             h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p, gm, gp, gs,
-            gated, dropout, need_dh=input_grad,
+            gated, dropout, need_dh=input_grad, gate_math=gate_math,
         )
         return dh, dwf, dbf, dwa, dba, dwb, dbb, dwc, dbc, None, None
 
@@ -738,7 +819,8 @@ def fused_trunk_attention_pool_xla(h, wf, bf, wa, ba, wb, bb, wc, bc,
 def fused_trunk_attention_pool(h, wf, bf, wa, ba, wb, bb, wc, bc, mask=None,
                                impl: str = "auto", gated: bool = True,
                                dropout: float = 0.0, seed=None,
-                               input_grad: bool = True):
+                               input_grad: bool = True,
+                               gate_math: str = "exact"):
     """CLAM trunk + gated attention pooling in ONE kernel.
 
     ``h``: raw patch features (B, N, Fin). Returns ``(M (B, L1), p, s)``
@@ -750,16 +832,20 @@ def fused_trunk_attention_pool(h, wf, bf, wa, ba, wb, bb, wc, bc, mask=None,
     (B, N, Fin) HBM write — a custom-call output XLA cannot dead-code
     eliminate — and returns exact zeros for the ``h`` cotangent. Use when
     ``h`` is data (the training engines differentiate parameters only).
+
+    ``gate_math='approx'``: relaxed-ulp rational tanh/sigmoid gates in the
+    kernels (see :func:`fast_tanh`; abs err <= ~1e-3, invisible after the
+    bf16 activation cast). The XLA golden always computes exactly.
     """
     if mask is None:
         mask = jnp.ones(h.shape[:2], dtype=bool)
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        key = (gated, float(dropout), bool(input_grad))
+        key = (gated, float(dropout), bool(input_grad), gate_math)
         if key not in _FUSED_TRUNK_OPS:
             _FUSED_TRUNK_OPS[key] = _make_fused_trunk_op(
-                gated, float(dropout), bool(input_grad))
+                gated, float(dropout), bool(input_grad), gate_math)
         if seed is None:
             seed = jnp.zeros((), jnp.int32)
         return _FUSED_TRUNK_OPS[key](
@@ -775,7 +861,8 @@ def fused_trunk_attention_pool(h, wf, bf, wa, ba, wb, bb, wc, bc, mask=None,
 # ---------------------------------------------------------------------------
 # Tiled kernel for bags too large for VMEM (full-slide heatmap attention)
 # ---------------------------------------------------------------------------
-def _make_tiled_fwd_kernel(gated: bool, n_tiles: int):
+def _make_tiled_fwd_kernel(gated: bool, n_tiles: int,
+                           gate_math: str = "exact"):
     """Single-sweep online-softmax attention pool over ``grid=(B, n_tiles)``.
 
     The bag streams through Pallas' own block pipeline (double-buffered HBM
@@ -788,6 +875,8 @@ def _make_tiled_fwd_kernel(gated: bool, n_tiles: int):
     (an O(B·N) elementwise pass, free next to the O(B·N·F·D) kernel).
     """
 
+    tanh_fn, sigmoid_fn = _gate_fns(gate_math)
+
     def kernel(x_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
                mask_ref, m_ref, s_ref, mx_ref, l_ref):
         t = pl.program_id(1)
@@ -799,12 +888,12 @@ def _make_tiled_fwd_kernel(gated: bool, n_tiles: int):
             l_ref[0, 0] = 0.0
 
         x = x_ref[0]  # (tile, F)
-        a = jnp.tanh(
+        a = tanh_fn(
             jnp.dot(x, wa_ref[:].astype(x.dtype),
                     preferred_element_type=jnp.float32) + ba_ref[0]
         )
         if gated:
-            a = a * jax.nn.sigmoid(
+            a = a * sigmoid_fn(
                 jnp.dot(x, wb_ref[:].astype(x.dtype),
                         preferred_element_type=jnp.float32) + bb_ref[0]
             )
@@ -832,13 +921,13 @@ def _make_tiled_fwd_kernel(gated: bool, n_tiles: int):
 
 
 def _fwd_tiled_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated: bool,
-                      tile: int = 2048):
+                      tile: int = 2048, gate_math: str = "exact"):
     b, n, f = x.shape
     d = wa.shape[1]
     assert n % tile == 0, f"bag length {n} must be a multiple of tile {tile}"
     n_tiles = n // tile
     m, s = pl.pallas_call(
-        _make_tiled_fwd_kernel(gated, n_tiles),
+        _make_tiled_fwd_kernel(gated, n_tiles, gate_math),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec((1, tile, f), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
@@ -871,16 +960,18 @@ def _fwd_tiled_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated: bool,
     return m[:, 0], p, s
 
 
-def _make_tiled_op(gated: bool, tile: int):
+def _make_tiled_op(gated: bool, tile: int, gate_math: str = "exact"):
     """Tiled forward with an XLA backward (the fwd is the hot path —
     heatmaps/eval; training bags fit the resident kernel)."""
 
     @jax.custom_vjp
     def op(x, wa, ba, wb, bb, wc, bc, mask):
-        return _fwd_tiled_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated, tile)
+        return _fwd_tiled_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated,
+                                 tile, gate_math)
 
     def fwd(x, wa, ba, wb, bb, wc, bc, mask):
-        out = _fwd_tiled_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated, tile)
+        out = _fwd_tiled_pallas(x, wa, ba, wb, bb, wc, bc, mask, gated,
+                                tile, gate_math)
         return out, (x, wa, ba, wb, bb, wc, bc, mask)
 
     def bwd(res, cot):
@@ -899,7 +990,8 @@ _TILED_OPS: dict = {}
 
 
 def attention_pool_tiled(x, wa, ba, wb, bb, wc, bc, mask=None,
-                         gated: bool = True, tile: int = 2048):
+                         gated: bool = True, tile: int = 2048,
+                         gate_math: str = "exact"):
     """Streaming attention pool for bags too large for VMEM residency.
 
     Online-softmax over ``grid=(B, n_tiles)`` with accumulator revisiting —
@@ -914,9 +1006,9 @@ def attention_pool_tiled(x, wa, ba, wb, bb, wc, bc, mask=None,
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, pad)))
-    key = (gated, tile)
+    key = (gated, tile, gate_math)
     if key not in _TILED_OPS:
-        _TILED_OPS[key] = _make_tiled_op(gated, tile)
+        _TILED_OPS[key] = _make_tiled_op(gated, tile, gate_math)
     m, p, s = _TILED_OPS[key](
         x, wa, ba, wb, bb, wc, jnp.asarray(bc, jnp.float32).reshape(()), mask
     )

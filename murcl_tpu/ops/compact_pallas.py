@@ -218,6 +218,14 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
     b, n_max = ranks.shape
     d = bank_feats.shape[1]
     tile = 256 if n_max % 256 == 0 else 128
+    if n_max % tile != 0:
+        # the grid walks n_max // tile full tiles; a ragged tail would be
+        # silently dropped (wrong selections, no error). Bank builders pad
+        # max_patches to a multiple of 128 — fail loudly on direct misuse.
+        raise ValueError(
+            f"gather_compact requires Nmax divisible by {tile} (got {n_max}); "
+            "pad the bank's max_patches to a multiple of 128"
+        )
     n_tiles = n_max // tile
     if num_patches is None:
         num_patches = jnp.full((b,), n_max, jnp.int32)

@@ -85,9 +85,13 @@ class AttentionScorer:
         from murcl_tpu.models import CLAM_SB
 
         self.bucket = bucket
+        # exact gate math: heatmap attention feeds a min-max-normalized
+        # uint8 colormap parity claim (create_heatmaps.py:112-114); keep
+        # the visualisation path free of the training-only approximation
         self.model = CLAM_SB(in_dim=dim_patch, gate=True, size_arg=size_arg,
                              dropout=0.25, k_sample=k_sample,
-                             n_classes=num_classes, subtyping=True)
+                             n_classes=num_classes, subtyping=True,
+                             attn_gate_math="exact")
         params = self.model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, bucket, dim_patch))
         )

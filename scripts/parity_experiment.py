@@ -56,12 +56,28 @@ def run_ours(ds, root, overrides=None) -> pd.DataFrame:
     return pd.read_csv(Path(out["save_dir"]) / "final_res.csv", index_col=0)
 
 
-def run_reference(ds, root, overrides=None) -> pd.DataFrame:
+def _patch_reference_torch():
+    """Neutralize the reference's hardcoded CUDA usage on CPU-only torch.
+
+    ``.cuda()`` / ``Module.cuda()`` become no-ops, ``DataParallel`` a
+    transparent wrapper, and ``tensor.to(0)`` (the RL-state device pin,
+    ``train_MuRCL.py:262-265``, ``train_RLMIL.py:350``) an identity when
+    the target is an integer cuda ordinal.
+    """
     import torch
 
-    # neutralize the reference's hardcoded CUDA usage on this CPU-only build
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
+    if not getattr(torch.Tensor, "_murcl_to_patched", False):
+        _orig_to = torch.Tensor.to
+
+        def _to(self, *a, **k):
+            if a and isinstance(a[0], int):
+                return self
+            return _orig_to(self, *a, **k)
+
+        torch.Tensor.to = _to
+        torch.Tensor._murcl_to_patched = True
 
     class _DP(torch.nn.Module):  # DataParallel stand-in: same .module surface
         def __init__(self, module, **kw):
@@ -73,6 +89,9 @@ def run_reference(ds, root, overrides=None) -> pd.DataFrame:
 
     torch.nn.DataParallel = _DP
 
+
+def run_reference(ds, root, overrides=None) -> pd.DataFrame:
+    _patch_reference_torch()
     sys.path.insert(0, "/root/reference")
     try:
         import train_RLMIL as ref
@@ -115,6 +134,112 @@ def run_reference(ds, root, overrides=None) -> pd.DataFrame:
         sys.path.remove("/root/reference")
 
 
+# --------------------------------------------------------------------------
+# Full-pipeline chain: MuRCL pretrain stages 1-3 -> RLMIL finetune stages 1-3
+# (runs/pretrain.sh -> runs/finetune.sh semantics), both implementations.
+# --------------------------------------------------------------------------
+PRE_EPOCHS, FT_EPOCHS, PPO_EPOCHS, PRE_BATCH = 6, 20, 4, 4
+
+
+def _chain_hparams():
+    return dict(
+        dataset="parity", feat_size=FEAT, T=T, device="cpu",
+        exist_ok=True, seed=985,
+        # tiny-arch sizes shared by pretrain and finetune
+        fc_hidden_dim=32, policy_hidden_dim=32, D=8,
+        ppo_lr=1e-4, K_epochs=2, action_std=0.5, ppo_gamma=0.1,
+    )
+
+
+def run_ours_chain(ds, root) -> pd.DataFrame:
+    from murcl_tpu.drivers import murcl, rlmil
+
+    hp = _chain_hparams()
+    out = None
+    for stage in (1, 2, 3):
+        args = murcl.default_args(
+            data_csv=ds["data_csv"], data_split_json=ds["data_split_json"],
+            train_stage=stage, epochs=PRE_EPOCHS, ppo_epochs=PPO_EPOCHS,
+            data_repeat=2, batch_size=PRE_BATCH, arch="ABMIL",
+            model_dim=32, projection_dim=16, temperature=0.5,
+            backbone_lr=LR, fc_lr=LR,
+            base_save_dir=str(Path(root) / "ours_pretrain"), **hp,
+        )
+        out = murcl.run(args)
+    pretrained = str(Path(out["save_dir"]) / "model_best.pth.tar")
+
+    res = None
+    for stage in (1, 2, 3):
+        args = rlmil.default_args(
+            data_csv=ds["data_csv"], data_split_json=ds["data_split_json"],
+            train_method="finetune", train_stage=stage, epochs=FT_EPOCHS,
+            ppo_epochs=PPO_EPOCHS, batch_size=2, arch="ABMIL", L=32,
+            backbone_lr=LR, fc_lr=LR, checkpoint_pretrained=pretrained,
+            checkpoint_stage=None,
+            base_save_dir=str(Path(root) / "ours_finetune"), **hp,
+        )
+        res = rlmil.run(args)
+    return pd.read_csv(Path(res["save_dir"]) / "final_res.csv", index_col=0)
+
+
+def run_reference_chain(ds, root) -> pd.DataFrame:
+    _patch_reference_torch()
+    hp = _chain_hparams()
+    sys.path.insert(0, "/root/reference")
+    try:
+        import train_MuRCL as refm
+        import train_RLMIL as refr
+
+        refr.TRAIN = {"ABMIL": refr.train_ABMIL, "DSMIL": refr.train_DSMIL,
+                      "CLAM_SB": refr.train_CLAM}
+        refr.TEST = {"ABMIL": refr.test_ABMIL, "DSMIL": refr.test_DSMIL,
+                     "CLAM_SB": refr.test_CLAM}
+
+        common = dict(
+            data_csv=ds["data_csv"], data_split_json=ds["data_split_json"],
+            preload=True, optimizer="Adam", scheduler=None,
+            momentum=0.9, nesterov=True, beta1=0.9, beta2=0.999,
+            warmup=0, wdecay=1e-5, patience=None, arch="ABMIL",
+            policy_conv=False, fc_rnn=True, dropout=0.0,
+            size_arg="small", k_sample=8, use_tensorboard=False,
+            save_dir=None, save_dir_flag=None, save_model=True,
+            **hp,
+        )
+        pre_dir = None
+        for stage in (1, 2, 3):
+            args = SimpleNamespace(
+                train_stage=stage, epochs=PRE_EPOCHS, ppo_epochs=PPO_EPOCHS,
+                data_repeat=2, batch_size=PRE_BATCH, checkpoint=None,
+                backbone_lr=LR, fc_lr=LR, temperature=0.5, alpha=0.9,
+                projection_dim=16, model_dim=32, feature_num=32,
+                base_save_dir=str(Path(root) / "reference_pretrain"),
+                **common,
+            )
+            refm.run(args)
+            pre_dir = Path(args.save_dir)
+        pretrained = str(pre_dir / "model_best.pth.tar")
+
+        ft_dir = None
+        for stage in (1, 2, 3):
+            args = SimpleNamespace(
+                train_data="train", train_method="finetune",
+                train_stage=stage, epochs=FT_EPOCHS, ppo_epochs=PPO_EPOCHS,
+                batch_size=2, checkpoint_stage=None,
+                checkpoint_pretrained=pretrained, backbone_lr=LR, fc_lr=LR,
+                picked_method="score", num_classes=2, model_dim=32,
+                feature_num=32, load_fc=False, L=32,
+                train_model_prime=True, bag_weight=0.7,
+                loss="CrossEntropyLoss",
+                base_save_dir=str(Path(root) / "reference_finetune"),
+                **common,
+            )
+            refr.run(args)
+            ft_dir = Path(args.save_dir)
+        return pd.read_csv(ft_dir / "final_res.csv", index_col=0)
+    finally:
+        sys.path.remove("/root/reference")
+
+
 def main():
     import argparse
 
@@ -123,6 +248,11 @@ def main():
                         help="run on a mounted real dataset (Camelyon16/TCGA) "
                              "instead of the synthetic fixture; requires "
                              "--data_csv/--data_split_json")
+    parser.add_argument("--full-chain", action="store_true", default=False,
+                        help="run the FULL MuRCL pipeline both-implementations "
+                             "on the synthetic fixture: 3-stage pretrain -> "
+                             "3-stage finetune (runs/pretrain.sh -> "
+                             "runs/finetune.sh semantics), compare final AUC")
     parser.add_argument("--data_csv", type=str, default=None)
     parser.add_argument("--data_split_json", type=str, default=None)
     parser.add_argument("--arch", type=str, default="ABMIL",
@@ -136,7 +266,14 @@ def main():
     cli = parser.parse_args()
 
     root = tempfile.mkdtemp(prefix="parity_")
-    if cli.real_data:
+    if cli.full_chain:
+        ds = make_dataset(root)
+        ours = run_ours_chain(ds, root)
+        theirs = run_reference_chain(ds, root)
+        desc = (f"FULL chain (pretrain 1-3 -> finetune 1-3, ABMIL): {SLIDES} "
+                f"synthetic slides, dim={DIM}, K={K}, feat_size={FEAT}, T={T}, "
+                f"{PRE_EPOCHS}+{FT_EPOCHS} epochs, ppo {PPO_EPOCHS}")
+    elif cli.real_data:
         assert cli.data_csv and cli.data_split_json, \
             "--real-data requires --data_csv and --data_split_json"
         ds = {"data_csv": cli.data_csv, "data_split_json": cli.data_split_json}

@@ -192,7 +192,8 @@ def test_clam_fused_path_matches_unfused(rng):
 
     fin = 8
     h = jnp.asarray(rng.normal(size=(2, N, fin)).astype(np.float32))
-    m_fused = CLAM_SB(in_dim=fin, k_sample=4, n_classes=2, attn_impl="pallas")
+    m_fused = CLAM_SB(in_dim=fin, k_sample=4, n_classes=2, attn_impl="pallas",
+                      attn_gate_math="exact")
     m_xla = CLAM_SB(in_dim=fin, k_sample=4, n_classes=2, attn_impl="xla")
     params = m_xla.init(jax.random.PRNGKey(0), h)
     got, aux_g = m_fused.apply(params, h)
@@ -200,6 +201,24 @@ def test_clam_fused_path_matches_unfused(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
     np.testing.assert_allclose(np.asarray(aux_g["attention"]),
                                np.asarray(aux_w["attention"]), atol=1e-5)
+
+
+def test_clam_default_approx_gate_math_close(rng):
+    """CLAM's default Pallas path (gate_math='approx') stays within the
+    sub-bf16-ulp error bound of the exact XLA route."""
+    from murcl_tpu.models import CLAM_SB
+
+    fin = 8
+    h = jnp.asarray(rng.normal(size=(2, N, fin)).astype(np.float32))
+    m_fused = CLAM_SB(in_dim=fin, k_sample=4, n_classes=2, attn_impl="pallas")
+    assert m_fused.attn_gate_math == "approx"
+    m_xla = CLAM_SB(in_dim=fin, k_sample=4, n_classes=2, attn_impl="xla")
+    params = m_xla.init(jax.random.PRNGKey(0), h)
+    got, aux_g = m_fused.apply(params, h)
+    want, aux_w = m_xla.apply(params, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(aux_g["attention"]),
+                               np.asarray(aux_w["attention"]), atol=5e-3)
 
 
 # ------------------------------------------------------------- tiled kernel --
@@ -277,3 +296,102 @@ def test_large_bag_routes_to_tiled(rng, monkeypatch):
     want = gap.gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
                                atol=1e-4)
+
+
+# --------------------------------------------- relaxed-ulp gate transcendentals --
+def test_fast_tanh_sigmoid_error_bounds():
+    """The (2,2) rational tanh and the shared sigmoid stay an order of
+    magnitude under bf16 visibility (eps/2 ~= 2e-3) across the full range,
+    including the saturation clamp region."""
+    x = jnp.asarray(np.linspace(-20.0, 20.0, 400001).astype(np.float32))
+    err_t = np.max(np.abs(np.asarray(gap.fast_tanh(x) - jnp.tanh(x))))
+    err_s = np.max(np.abs(np.asarray(gap.fast_sigmoid(x) - jax.nn.sigmoid(x))))
+    assert err_t <= 6e-4, err_t
+    assert err_s <= 4e-4, err_s
+    # odd/even symmetry and range sanity
+    np.testing.assert_allclose(np.asarray(gap.fast_tanh(-x)),
+                               -np.asarray(gap.fast_tanh(x)), atol=1e-7)
+    t = np.asarray(gap.fast_tanh(x))
+    s = np.asarray(gap.fast_sigmoid(x))
+    assert np.all(np.abs(t) <= 1.0 + 1e-6) and np.all((s >= -1e-6) & (s <= 1 + 1e-6))
+
+
+@pytest.mark.parametrize("gated", [True, False])
+def test_approx_gate_math_forward(inputs, gated):
+    x, wa, ba, wb, bb, wc, bc, mask = inputs
+    want = gap.gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask, gated=gated)
+    got = gap.gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask,
+                                   impl="pallas", gated=gated,
+                                   gate_math="approx")
+    for name, w, g in zip(["m", "p", "s"], want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=5e-3,
+                                   err_msg=name)
+
+
+def test_approx_gate_math_grads(inputs):
+    """Approx-gate gradients track the exact ones closely (the backward
+    re-derives a/g with the same rational, so the VJP is self-consistent)."""
+    x, wa, ba, wb, bb, wc, bc, mask = inputs
+
+    def loss(gate_math):
+        def f(x, wa, ba, wb, bb, wc, bc):
+            m, p, s = gap.gated_attention_pool(
+                x, wa, ba, wb, bb, wc, bc, mask, impl="pallas", gated=True,
+                gate_math=gate_math,
+            )
+            return jnp.sum(m * m)
+        return f
+
+    args = (x, wa, ba, wb, bb, wc, bc)
+    g_exact = jax.grad(loss("exact"), argnums=tuple(range(7)))(*args)
+    g_apx = jax.grad(loss("approx"), argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(["x", "wa", "ba", "wb", "bb", "wc", "bc"],
+                          g_exact, g_apx):
+        a, b = np.asarray(a), np.asarray(b).reshape(np.asarray(a).shape)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b, a, atol=2e-2 * scale, err_msg=name)
+
+
+def test_fused_trunk_approx_gate_math(trunk_inputs):
+    h, wf, bf, wa, ba, wb, bb, wc, bc, mask = trunk_inputs
+    want = gap.fused_trunk_attention_pool_xla(
+        h, wf, bf, wa, ba, wb, bb, wc, bc, mask=mask, gated=True)
+    got = gap.fused_trunk_attention_pool(
+        h, wf, bf, wa, ba, wb, bb, wc, bc, mask=mask, impl="pallas",
+        gated=True, gate_math="approx")
+    for name, w, g in zip(["m", "p", "s"], want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=5e-3,
+                                   err_msg=name)
+
+    def loss(gate_math):
+        def f(*a):
+            m, p, s = gap.fused_trunk_attention_pool(
+                *a, mask=mask, impl="pallas", gated=True, gate_math=gate_math)
+            return jnp.sum(m * m)
+        return f
+
+    args = (h, wf, bf, wa, ba, wb, bb, wc, bc)
+    g_exact = jax.grad(loss("exact"), argnums=tuple(range(9)))(*args)
+    g_apx = jax.grad(loss("approx"), argnums=tuple(range(9)))(*args)
+    names = ["h", "wf", "bf", "wa", "ba", "wb", "bb", "wc", "bc"]
+    for name, a, b in zip(names, g_exact, g_apx):
+        a, b = np.asarray(a), np.asarray(b).reshape(np.asarray(a).shape)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b, a, atol=2e-2 * scale, err_msg=name)
+
+
+def test_tiled_approx_gate_math(rng):
+    B2, N2, F2, D2 = 2, 32, 8, 4
+    x = jnp.asarray(rng.normal(size=(B2, N2, F2)).astype(np.float32))
+    wa = jnp.asarray(rng.normal(size=(F2, D2)).astype(np.float32) * 0.3)
+    ba = jnp.asarray(rng.normal(size=(D2,)).astype(np.float32) * 0.1)
+    wb = jnp.asarray(rng.normal(size=(F2, D2)).astype(np.float32) * 0.3)
+    bb = jnp.asarray(rng.normal(size=(D2,)).astype(np.float32) * 0.1)
+    wc = jnp.asarray(rng.normal(size=(D2,)).astype(np.float32) * 0.3)
+    bc = jnp.float32(0.02)
+    mask = jnp.asarray(np.arange(N2)[None, :] < np.array([32, 20])[:, None])
+    got = gap.attention_pool_tiled(x, wa, ba, wb, bb, wc, bc, mask=mask,
+                                   gated=True, tile=8, gate_math="approx")
+    want = gap.gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask=mask)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=5e-3)

