@@ -43,9 +43,9 @@ from murcl_tpu.utils.general import (
 
 
 def _arch_setting(args) -> dict:
-    # --attn_gate_math exact restores library tanh/sigmoid inside the TPU
-    # kernels (PARITY.md); default is the relaxed-ulp rational gates
-    gm = getattr(args, "attn_gate_math", "approx")
+    # --attn_gate_math approx selects the relaxed-ulp rational gates in the
+    # TPU kernels (PARITY.md) — measured perf-neutral, default stays exact
+    gm = getattr(args, "attn_gate_math", "exact")
     if args.arch == "ABMIL":
         # MuRCL sizes ABMIL with L=model_dim and projection-dim output head
         # (train_MuRCL.py:74-80)
@@ -274,7 +274,7 @@ def default_args(**overrides) -> SimpleNamespace:
         base_save_dir="./results", save_dir=None, save_dir_flag=None,
         exist_ok=False, device="0", seed=985, compute_dtype="float32", rng_impl="threefry", resume=False,
         remat="save_subbag", stage1_layout="batched", select_impl="auto",
-        attn_gate_math="approx",
+        attn_gate_math="exact",
         streaming=False,
     )
     for k, v in overrides.items():

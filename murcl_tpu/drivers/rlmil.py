@@ -71,9 +71,9 @@ def _build_sources(args):
 
 
 def _arch_setting(args) -> dict:
-    # --attn_gate_math exact restores library tanh/sigmoid inside the TPU
-    # kernels (PARITY.md); default is the relaxed-ulp rational gates
-    gm = getattr(args, "attn_gate_math", "approx")
+    # --attn_gate_math approx selects the relaxed-ulp rational gates in the
+    # TPU kernels (PARITY.md) — measured perf-neutral, default stays exact
+    gm = getattr(args, "attn_gate_math", "exact")
     if args.arch == "ABMIL":
         return {"L": args.L, "D": args.D, "dropout": args.dropout,
                 "dim_out": args.num_classes, "attn_gate_math": gm}
@@ -446,7 +446,7 @@ def default_args(**overrides) -> SimpleNamespace:
         train_model_prime=True, eval_batch_pad=1, streaming=False,
         compute_dtype="float32", profile=0, rng_impl="threefry", resume=False,
         remat="save_subbag", stage1_layout="batched", select_impl="auto",
-        attn_gate_math="approx",
+        attn_gate_math="exact",
     )
     for k, v in overrides.items():
         setattr(ns, k, v)

@@ -49,7 +49,7 @@ def build_aggregator(
             K=s.get("K", 1),
             dim_out=s.get("dim_out", num_classes),
             dropout=s.get("dropout", 0.0),
-            attn_gate_math=s.get("attn_gate_math", "approx"),
+            attn_gate_math=s.get("attn_gate_math", "exact"),
         )
         return model, model.L
     if arch == "CLAM_SB":
@@ -61,7 +61,7 @@ def build_aggregator(
             k_sample=s.get("k_sample", 8),
             n_classes=num_classes,
             subtyping=s.get("subtyping", False),
-            attn_gate_math=s.get("attn_gate_math", "approx"),
+            attn_gate_math=s.get("attn_gate_math", "exact"),
         )
         return model, 512
     if arch == "DSMIL":

@@ -64,7 +64,7 @@ class ABMIL(nn.Module):
     dim_out: int = 2
     dropout: float = 0.0
     attn_impl: str = "auto"  # auto | xla | pallas (fused attention pooling)
-    attn_gate_math: str = "approx"  # see clam.AttentionPool.gate_math
+    attn_gate_math: str = "exact"  # see clam.AttentionPool.gate_math
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, train: bool = False):

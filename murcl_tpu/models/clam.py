@@ -220,7 +220,7 @@ class CLAM_SB(nn.Module):
     subtyping: bool = False
     attn_impl: str = "auto"  # auto | xla | pallas (fused attention pooling)
     attn_input_grad: bool = True  # see AttentionPool.input_grad
-    attn_gate_math: str = "approx"  # see AttentionPool.gate_math
+    attn_gate_math: str = "exact"  # see AttentionPool.gate_math
 
     @nn.compact
     def __call__(

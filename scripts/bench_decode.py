@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Host-side extraction staging throughput (the non-chip half of the story).
+
+BASELINE.md records the chip-bound encode rate (17,343 patches/sec,
+resnet18 bf16 batch 256). This measures the other half the reference's
+loop also pays (``wsi_processing/extract_features.py:80-91``): per-patch
+``read_region -> RGB convert -> resize -> uint8 staging`` on the host,
+over a large synthetic slide fixture.
+
+Environment caveat (recorded with the number): openslide is absent here,
+so the fixture path reads through ``ImageSlide`` — the slide is decoded
+once into RAM and ``read_region`` is a crop. Real openslide adds per-tile
+JPEG decode on top; treat the measured rate as the staging (crop/resize/
+copy) component, an upper bound on this host's single-core decode rate.
+
+Prints one json line like bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SLIDE_PX = 8192
+PATCH_L0, PATCH = 512, 256  # 40x -> 20x: decode 512, resize to 256
+
+
+def main():
+    from PIL import Image
+
+    from murcl_tpu.preprocess.extract import _read_patches
+    from murcl_tpu.preprocess.slide_io import ImageSlide
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(60, 220, (SLIDE_PX, SLIDE_PX, 3), dtype=np.uint8)
+    slide = ImageSlide("fixture.png", image=Image.fromarray(img))
+
+    grid = SLIDE_PX // PATCH_L0
+    coords = [{"x": c * PATCH_L0, "y": r * PATCH_L0, "row": r, "col": c}
+              for r in range(grid) for c in range(grid)]
+    n = len(coords)
+
+    results = {}
+    for workers in (1, 8):
+        for resize_on_host, tag in ((True, "resize_host"), (False, "raw")):
+            _read_patches(slide, coords[:32], PATCH_L0, PATCH,
+                          num_workers=workers, resize_on_host=resize_on_host)
+            t0 = time.perf_counter()
+            out = _read_patches(slide, coords, PATCH_L0, PATCH,
+                                num_workers=workers,
+                                resize_on_host=resize_on_host)
+            dt = time.perf_counter() - t0
+            assert out.shape[0] == n
+            results[f"{tag}_w{workers}"] = round(n / dt, 1)
+            print(f"{tag} workers={workers}: {n / dt:.1f} patches/sec "
+                  f"({n} patches, {dt:.2f}s)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "host_patch_staging_patches_per_sec",
+        "value": results["resize_host_w8"],
+        "unit": f"patches/sec ({PATCH_L0}->{PATCH}px, ImageSlide fixture, "
+                "single-core host)",
+        "vs_baseline": None,
+        "detail": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

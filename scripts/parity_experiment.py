@@ -175,7 +175,7 @@ def run_ours_chain(ds, root) -> pd.DataFrame:
             train_method="finetune", train_stage=stage, epochs=FT_EPOCHS,
             ppo_epochs=PPO_EPOCHS, batch_size=2, arch="ABMIL", L=32,
             backbone_lr=LR, fc_lr=LR, checkpoint_pretrained=pretrained,
-            checkpoint_stage=None,
+            checkpoint_stage=None, save_model=True,
             base_save_dir=str(Path(root) / "ours_finetune"), **hp,
         )
         res = rlmil.run(args)

@@ -96,7 +96,7 @@ def main():
     parser.add_argument('--select_impl', type=str, default='auto',
                         choices=['auto', 'xla'],
                         help='sub-bag materialization (auto uses the Pallas compaction kernel on TPU)')
-    parser.add_argument('--attn_gate_math', type=str, default='approx',
+    parser.add_argument('--attn_gate_math', type=str, default='exact',
                         choices=['approx', 'exact'],
                         help='gate transcendentals in the TPU attention kernels (approx = relaxed-ulp rationals, PARITY.md)')
     args = parser.parse_args()
