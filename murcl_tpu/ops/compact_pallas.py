@@ -49,41 +49,17 @@ def gather_compact_xla(bank_feats, row_offsets, ranks, feat_size: int):
     return jax.vmap(one)(row_offsets, ranks)
 
 
-def _banded_slab(tile: int, feat_size: int) -> int:
-    """Output-slab height for the banded one-hot contraction, or 0.
-
-    Selection ranks are MONOTONE in bank-row order (the reference sorts
-    the selected-index union ascending, ``utils/datasets.py:296``, and
-    ``select_ranks`` preserves that), so an input tile's kept rows land in
-    the contiguous output range ``[base, base + k_t)`` with ``k_t <=
-    tile``. A slab of ``tile + 128`` output rows anchored at ``base``
-    aligned down to 128 always covers it (``base - base_al <= 127``), so
-    the per-tile one-hot matmul shrinks from ``(feat_size, tile)`` to
-    ``(slab, tile)`` — 2.7x fewer MXU FLOPs at the canonical shape
-    (feat_size=1024, tile=256). Banding needs ``feat_size`` large enough
-    to clamp the slab in-bounds and 128-divisible for the provable
-    alignment; small feat_size falls back to the full one-hot (cheap
-    there anyway).
-    """
-    slab = tile + 128
-    if feat_size > slab and feat_size % 128 == 0:
-        return slab
-    return 0
-
-
 def _make_kernel_resident(n_max: int, tile: int, feat_size: int, d: int):
     """One bag per program, whole (n_max, d) window resident in VMEM.
 
     Faster than the tiled variant (one DMA per bag, no accumulator
     round-trips) but VMEM-bound: only chosen when the double-buffered
-    window fits the budget (see :func:`gather_compact`). Uses the banded
-    one-hot contraction (:func:`_banded_slab`) when feat_size allows.
+    window fits the budget (see :func:`gather_compact`).
     """
     n_tiles = n_max // tile
-    slab = _banded_slab(tile, feat_size)
 
     def kernel(offs8_ref, nump_ref, ranks_ref, feats_hbm, out_ref,
-               rows_buf, acc_ref, sems):
+               rows_buf, sems):
         i = pl.program_id(0)
         nb = pl.num_programs(0)
         slot = jax.lax.rem(i, 2)
@@ -104,41 +80,14 @@ def _make_kernel_resident(n_max: int, tile: int, feat_size: int, d: int):
 
         dma(i, slot).wait()
 
-        if not slab:
-            acc = jnp.zeros((feat_size, d), jnp.float32)
-            iota_f = jax.lax.broadcasted_iota(jnp.int32, (feat_size, tile), 0)
-            for t in range(n_tiles):
-                rows_t = rows_buf[slot, t * tile:(t + 1) * tile, :]
-                ranks_t = ranks_ref[0, :, t * tile:(t + 1) * tile]  # (1, tile)
-                oh = (iota_f == ranks_t).astype(rows_t.dtype)  # (F, tile)
-                acc = acc + jnp.dot(oh, rows_t,
-                                    preferred_element_type=jnp.float32)
-            out_ref[0] = acc.astype(out_ref.dtype)
-            return
-
-        # banded path: slab-sized one-hot anchored at the running kept
-        # count; contributions outside [base, base+k_t) are exact zeros,
-        # so accumulation matches the full one-hot bitwise
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        iota_s = jax.lax.broadcasted_iota(jnp.int32, (slab, tile), 0)
-        nump = nump_ref[i]
-        base = jnp.int32(0)
+        acc = jnp.zeros((feat_size, d), jnp.float32)
+        iota_f = jax.lax.broadcasted_iota(jnp.int32, (feat_size, tile), 0)
         for t in range(n_tiles):
+            rows_t = rows_buf[slot, t * tile:(t + 1) * tile, :]
             ranks_t = ranks_ref[0, :, t * tile:(t + 1) * tile]  # (1, tile)
-            k_t = jnp.sum((ranks_t >= 0).astype(jnp.int32))
-
-            @pl.when(t * tile < nump)
-            def _(base=base, ranks_t=ranks_t, t=t):
-                base_al = jnp.minimum((base // 128) * 128,
-                                      jnp.int32(feat_size - slab))
-                start = pl.multiple_of(base_al, 128)
-                rows_t = rows_buf[slot, t * tile:(t + 1) * tile, :]
-                oh = (iota_s + base_al == ranks_t).astype(rows_t.dtype)
-                acc_ref[pl.ds(start, slab), :] += jnp.dot(
-                    oh, rows_t, preferred_element_type=jnp.float32)
-
-            base = base + k_t
-        out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+            oh = (iota_f == ranks_t).astype(rows_t.dtype)  # (F, tile)
+            acc = acc + jnp.dot(oh, rows_t, preferred_element_type=jnp.float32)
+        out_ref[0] = acc.astype(out_ref.dtype)
 
     return kernel
 
@@ -312,7 +261,6 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
         kernel = _make_kernel_resident(n_max, tile, feat_size, d)
         scratch = [
             pltpu.VMEM((2, n_max, d), bank_feats.dtype),
-            pltpu.VMEM((feat_size, d), jnp.float32),  # banded accumulator
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:

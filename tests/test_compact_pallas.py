@@ -168,29 +168,3 @@ def test_pallas_kernel_multi_tile_ragged_interpret():
                           interpret=True, variant="tiled")
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
 
-
-def test_banded_resident_kernel_matches_golden_interpret():
-    """The banded one-hot path (feat_size large enough for slab anchoring;
-    the canonical-shape route) == the XLA golden bitwise, f32 and bf16,
-    including small bags (zero pad) and truncation past feat_size."""
-    rng = np.random.default_rng(5)
-    # slides from tiny (heavy padding) to > feat_size (truncation)
-    feats, clusters, bank = _bank(rng, batch=6, min_n=40, max_n=700)
-    ids = jnp.asarray([0, 2, 1, 5, 3, 4], jnp.int32)
-    actions = jnp.asarray(rng.random((6, K)), jnp.float32)
-    feat_size = 512
-    from murcl_tpu.ops.compact_pallas import _banded_slab
-    assert _banded_slab(128, feat_size) > 0  # the banded path is active
-    for dtype in (jnp.float32, jnp.bfloat16):
-        bf = jnp.asarray(bank.feats, dtype)
-        ranks, row_offs, _ = select_ranks(
-            ids, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
-            jnp.asarray(bank.cluster_sizes), actions,
-            jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
-            feat_size=feat_size,
-        )
-        want = gather_compact_xla(bf, row_offs, ranks, feat_size)
-        got = gather_compact(bf, row_offs, ranks, feat_size,
-                             num_patches=jnp.asarray(bank.num_patches)[ids],
-                             interpret=True, variant="resident")
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
