@@ -49,7 +49,10 @@ def _synthetic_bank():
     return bank_from_arrays(feats, clusters, labels)
 
 
-def measure_ours(steps: int = 10, warmup: int = 2) -> float:
+def measure_ours(steps: int = None, warmup: int = 2) -> float:
+    if steps is None:
+        # MURCL_BENCH_STEPS=100 for the sustained-rate confirmation runs
+        steps = int(os.environ.get("MURCL_BENCH_STEPS", "10"))
     import jax
 
     # hardware-backed PRNG for dropout masks: threefry keygen costs ~35%
