@@ -7,11 +7,15 @@ loop also pays (``wsi_processing/extract_features.py:80-91``): per-patch
 ``read_region -> RGB convert -> resize -> uint8 staging`` on the host,
 over a large synthetic slide fixture.
 
-Environment caveat (recorded with the number): openslide is absent here,
+Environment caveats (recorded with the number): openslide is absent here,
 so the fixture path reads through ``ImageSlide`` — the slide is decoded
 once into RAM and ``read_region`` is a crop. Real openslide adds per-tile
 JPEG decode on top; treat the measured rate as the staging (crop/resize/
 copy) component, an upper bound on this host's single-core decode rate.
+Additionally this VM has ONE vCPU with heavy steal: identical reps vary
+25x (9.8 -> 252 -> 15.6 patches/sec measured back to back), so only the
+PEAK across reps approximates the true single-core rate — the script
+reports the best of several repetitions.
 
 Prints one json line like bench.py.
 """
@@ -47,20 +51,25 @@ def main():
               for r in range(grid) for c in range(grid)]
     n = len(coords)
 
+    # warm pass (pages + allocator), then best-of-3 per config: the vCPU
+    # steal on this host makes single runs meaningless (see docstring)
+    _read_patches(slide, coords, PATCH_L0, PATCH, num_workers=1,
+                  resize_on_host=False)
     results = {}
     for workers in (1, 8):
         for resize_on_host, tag in ((True, "resize_host"), (False, "raw")):
-            _read_patches(slide, coords[:32], PATCH_L0, PATCH,
-                          num_workers=workers, resize_on_host=resize_on_host)
-            t0 = time.perf_counter()
-            out = _read_patches(slide, coords, PATCH_L0, PATCH,
-                                num_workers=workers,
-                                resize_on_host=resize_on_host)
-            dt = time.perf_counter() - t0
-            assert out.shape[0] == n
-            results[f"{tag}_w{workers}"] = round(n / dt, 1)
-            print(f"{tag} workers={workers}: {n / dt:.1f} patches/sec "
-                  f"({n} patches, {dt:.2f}s)", file=sys.stderr)
+            best = 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = _read_patches(slide, coords, PATCH_L0, PATCH,
+                                    num_workers=workers,
+                                    resize_on_host=resize_on_host)
+                dt = time.perf_counter() - t0
+                assert out.shape[0] == n
+                best = max(best, n / dt)
+            results[f"{tag}_w{workers}"] = round(best, 1)
+            print(f"{tag} workers={workers}: best {best:.1f} patches/sec "
+                  f"({n} patches x3 reps)", file=sys.stderr)
 
     best = max(results, key=results.get)
     print(json.dumps({
