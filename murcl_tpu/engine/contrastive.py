@@ -89,14 +89,38 @@ class ContrastiveEngine:
         return AggTrainState(params=params, opt_state=opt_state)
 
     # ----------------------------------------------------------- rollout --
-    def _encode(self, model_params, feats, train, rng):
-        """Aggregator forward -> (projection input (B, F), rl state (B, S))."""
+    def _encode(self, model_params, feats, train, rng, mix=None):
+        """Aggregator forward -> (projection input (B, F), rl state (B, S)).
+
+        ``mix=(perm, lam)`` fuses bag-level mixup into the aggregator's
+        Pallas kernel (CLAM's fused-trunk path only) — the mixed bags
+        never exist in HBM.
+        """
         rngs = {"dropout": rng} if train else None
         feats = feats.astype(self._cdtype)
-        out = self.model.apply(model_params, feats, train=train, rngs=rngs)
+        kwargs = {"mix": mix} if mix is not None else {}
+        out = self.model.apply(model_params, feats, train=train, rngs=rngs,
+                               **kwargs)
         emb = out[0] if isinstance(out, tuple) else out
         emb = emb.astype(jnp.float32)  # GRU head / losses stay f32
         return emb, jax.lax.stop_gradient(emb)
+
+    def _fused_trunk_mix(self, x_flat) -> bool:
+        """True when the model forward takes CLAM's fused trunk+attention
+        Pallas route (pallas impl, VMEM-resident bag), so bag-level mixup
+        can ride that kernel instead of a standalone pass. Mirrors
+        AttentionPool's resident heuristic (models/clam.py)."""
+        if self.cfg.arch != "CLAM_SB":
+            return False
+        impl = getattr(self.model, "attn_impl", "auto")
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl != "pallas":
+            return False
+        l1 = 512  # SIZE_DICT: both arch settings use l1 = 512
+        itemsize = jnp.dtype(self._cdtype).itemsize
+        return (self.cfg.feat_size * max(x_flat.shape[-1], l1) * itemsize
+                <= 6 * 1024 * 1024)
 
     def _rollout(self, params, ppo_old_params, bank: BankArrays, slide_ids,
                  rng, train: bool):
@@ -138,21 +162,29 @@ class ContrastiveEngine:
         )
 
         # mixup permutes within each (step, view) batch separately. On the
-        # kernel path the partner bag is block-gathered in-kernel
-        # (mixup_rows) — XLA's permuted-copy + multiply-add chain costs
-        # ~22 ms/step at the canonical shape; same draws either way.
+        # kernel path the partner bag is block-gathered in-kernel — either
+        # by the standalone mixup_rows kernel, or (CLAM's fused-trunk
+        # route) directly inside the attention kernel so the mixed
+        # (T*2B, N, D) tensor never exists in HBM. XLA's permuted-copy +
+        # multiply-add chain costs ~22 ms/step at the canonical shape;
+        # same draws on every route.
         mix_keys = jax.random.split(r_mix, t_steps * 2)
+        kernel_mix = None
         if _use_compact(cfg, bank):
-            from murcl_tpu.ops.compact_pallas import mixup_rows
-
             lams, perms = jax.vmap(
                 lambda k: mixup_factors(k, b, cfg.alpha)
             )(mix_keys)  # (T*2, b, 1), (T*2, b)
             base = jnp.arange(t_steps * 2, dtype=jnp.int32)[:, None] * b
-            mixed = mixup_rows(
-                x_flat, (perms.astype(jnp.int32) + base).reshape(-1),
-                lams.reshape(-1),
-            ).reshape(t_steps, 2, b, cfg.feat_size, -1)
+            perm_abs = (perms.astype(jnp.int32) + base).reshape(-1)
+            lam_flat = lams.reshape(-1)
+            if self._fused_trunk_mix(x_flat):
+                kernel_mix = (perm_abs, lam_flat)
+                mixed = x_flat.reshape(t_steps, 2, b, cfg.feat_size, -1)
+            else:
+                from murcl_tpu.ops.compact_pallas import mixup_rows
+
+                mixed = mixup_rows(x_flat, perm_abs, lam_flat).reshape(
+                    t_steps, 2, b, cfg.feat_size, -1)
         else:
             mixed = jax.vmap(jax.vmap(
                 lambda k, xi: mixup(k, xi, cfg.alpha)[0]
@@ -165,7 +197,7 @@ class ContrastiveEngine:
                 .astype(self._cdtype),
                 "subbag",
             )
-            return self._encode(mp, x2, train, r_drop)
+            return self._encode(mp, x2, train, r_drop, mix=kernel_mix)
 
         if cfg.remat != "none":
             policy = jax.checkpoint_policies.save_only_these_names("subbag")
@@ -252,12 +284,24 @@ class ContrastiveEngine:
                 cfg, bank, both_ids,
                 jnp.concatenate([actions_a, actions_b]),
             )
-            xa, _, _ = mixup(r_mix_a, x2[:b], cfg.alpha)
-            xb, _, _ = mixup(r_mix_b, x2[b:], cfg.alpha)
-            x2 = checkpoint_name(
-                jnp.concatenate([xa, xb]).astype(self._cdtype), "subbag"
-            )
-            emb2, state2 = self._encode(mp, x2, train, r_drop)
+            if self._fused_trunk_mix(x2):
+                # mixup rides the fused trunk+attention kernel (same draws;
+                # within one ulp of the XLA expression — PARITY.md mixup row)
+                lam_a, perm_a = mixup_factors(r_mix_a, b, cfg.alpha)
+                lam_b_, perm_b = mixup_factors(r_mix_b, b, cfg.alpha)
+                kmix = (
+                    jnp.concatenate([perm_a, perm_b + b]).astype(jnp.int32),
+                    jnp.concatenate([lam_a[:, 0], lam_b_[:, 0]]),
+                )
+                x2 = checkpoint_name(x2.astype(self._cdtype), "subbag")
+                emb2, state2 = self._encode(mp, x2, train, r_drop, mix=kmix)
+            else:
+                xa, _, _ = mixup(r_mix_a, x2[:b], cfg.alpha)
+                xb, _, _ = mixup(r_mix_b, x2[b:], cfg.alpha)
+                x2 = checkpoint_name(
+                    jnp.concatenate([xa, xb]).astype(self._cdtype), "subbag"
+                )
+                emb2, state2 = self._encode(mp, x2, train, r_drop)
             if restart:
                 # reference: fc(o, restart=True) per view — each restarts
                 # from zeros; view 0's carry is overwritten by view 1's

@@ -98,7 +98,8 @@ class AttentionPool(nn.Module):
     gate_math: str = "exact"  # exact | approx
 
     @nn.compact
-    def __call__(self, x, mask=None, train: bool = False, trunk=None):
+    def __call__(self, x, mask=None, train: bool = False, trunk=None,
+                 mix=None):
         import math
 
         from murcl_tpu.ops.attention_pallas import (
@@ -134,6 +135,10 @@ class AttentionPool(nn.Module):
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
+        if mix is not None and trunk is None:
+            raise ValueError("mix=(perm, lam) is only supported on the "
+                             "fused-trunk path (CLAM's hot path)")
+
         if trunk is not None:
             wf, bf = trunk
             n = x.shape[1]
@@ -141,8 +146,9 @@ class AttentionPool(nn.Module):
                 n * max(x.shape[-1], f) * x.dtype.itemsize <= 6 * 1024 * 1024
             )
             if impl == "pallas" and resident and not self.is_initializing():
-                # ONE kernel: trunk matmul+relu+dropout, gates, softmax,
-                # pooling — the (B, N, L1) trunk output never touches HBM
+                # ONE kernel: (optional in-kernel mixup,) trunk matmul+relu
+                # +dropout, gates, softmax, pooling — the (B, N, L1) trunk
+                # output never touches HBM
                 seed = None
                 rate = 0.0
                 if use_dropout:
@@ -155,9 +161,16 @@ class AttentionPool(nn.Module):
                     x, wf, bf, wa, ba, wb, bb, wc[:, 0], bc[0], mask=mask,
                     impl="pallas", gated=self.gated, dropout=rate, seed=seed,
                     input_grad=self.input_grad, gate_math=self.gate_math,
+                    mix=mix,
                 )
-            # unfused fallback (CPU, init trace, oversized bags): trunk in
-            # XLA, then the standard attention path below
+            # unfused fallback (CPU, init trace, oversized bags): explicit
+            # mix (mixup_rows-identical numerics), trunk in XLA, then the
+            # standard attention path below
+            if mix is not None:
+                perm, lam = mix
+                lam32 = lam.reshape(-1, 1, 1).astype(jnp.float32)
+                x = (lam32.astype(x.dtype) * x
+                     + (1.0 - lam32).astype(x.dtype) * x[perm])
             x = nn.relu(jnp.dot(x, wf.astype(x.dtype)) + bf.astype(x.dtype))
             if use_dropout:
                 x = nn.Dropout(self.dropout, deterministic=False)(x)
@@ -230,6 +243,7 @@ class CLAM_SB(nn.Module):
         instance_eval: bool = False,
         mask: Optional[jnp.ndarray] = None,
         train: bool = False,
+        mix=None,
     ):
         l1, l2 = SIZE_DICT[self.size_arg]
         wf, bf = _TrunkParams(dim_in=h.shape[-1], features=l1, name="fc")()
@@ -238,6 +252,15 @@ class CLAM_SB(nn.Module):
             input_grad=self.attn_input_grad, gate_math=self.attn_gate_math,
             name="attn",
         )
+        if mix is not None and instance_eval:
+            # instance-eval gathers trunk rows of the (mixed) bag; mix
+            # explicitly up front (contrastive pretraining — the only mix
+            # user — never takes this branch)
+            perm, lam = mix
+            lam32 = lam.reshape(-1, 1, 1).astype(jnp.float32)
+            h = (lam32.astype(h.dtype) * h
+                 + (1.0 - lam32).astype(h.dtype) * h[perm])
+            mix = None
         if instance_eval:
             # the instance branch gathers trunk-output rows; keep the trunk
             # materialized (XLA fuses it with the gather) and the attention
@@ -248,9 +271,10 @@ class CLAM_SB(nn.Module):
             m, weights, scores = pool(x, mask=mask, train=train)
         else:
             # hot path (pretraining encodes, eval): trunk fused into the
-            # attention kernel — no (B, N, l1) HBM round-trip per call
+            # attention kernel — no (B, N, l1) HBM round-trip per call;
+            # mix=(perm, lam) additionally fuses bag-level mixup in-kernel
             m, weights, scores = pool(h, mask=mask, train=train,
-                                      trunk=(wf, bf))
+                                      trunk=(wf, bf), mix=mix)
             x = None
 
         # dead-code bag head, kept as parameters (clam.py:78,171-173)

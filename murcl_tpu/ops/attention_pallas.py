@@ -482,11 +482,24 @@ def _dropout_masks_trunk(seed, rate: float, shape_x, shape_g, gated: bool,
 
 
 def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float,
-                                 gate_math: str = "exact"):
+                                 gate_math: str = "exact",
+                                 mixed: bool = False):
     tanh_fn, sigmoid_fn = _gate_fns(gate_math)
 
-    def kernel(h_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
-               wc_ref, bc_ref, mask_ref, seed_ref, m_ref, p_ref, s_ref):
+    def kernel(*refs):
+        if mixed:
+            (perm_ref, lam_ref, h_ref, hp_ref, wf_ref, bf_ref, wa_ref,
+             ba_ref, wb_ref, bb_ref, wc_ref, bc_ref, mask_ref, seed_ref,
+             m_ref, p_ref, s_ref) = refs
+        else:
+            (h_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
+             wc_ref, bc_ref, mask_ref, seed_ref, m_ref, p_ref, s_ref) = refs
+        return body(h_ref, (lam_ref, hp_ref) if mixed else None, wf_ref,
+                    bf_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
+                    mask_ref, seed_ref, m_ref, p_ref, s_ref)
+
+    def body(h_ref, mix, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
+             wc_ref, bc_ref, mask_ref, seed_ref, m_ref, p_ref, s_ref):
         # bag-dtype discipline throughout (relu/dropout/gate products in
         # h.dtype, masks as 0/1 values): halves the VPU traffic of the
         # elementwise chains for bf16 bags AND matches the backward's
@@ -494,6 +507,17 @@ def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float,
         # formulation for its 16 MB VMEM budget). For f32 bags all casts
         # are no-ops and v*mask*scale is bitwise where(mask, v*scale, 0).
         h = h_ref[0]  # (N, Fin)
+        if mix is not None:
+            # in-kernel mixup: partner bag block-gathered via the scalar-
+            # prefetch index map, mixed in VMEM before the trunk — the
+            # mixed (B, N, Fin) tensor never exists in HBM. Same formula
+            # as compact_pallas._mix_kernel (1-lam in f32; Mosaic cannot
+            # legalize scalar bf16 arithmetic), so numerics match the
+            # standalone mixup_rows kernel exactly.
+            lam_ref, hp_ref = mix
+            lam32 = lam_ref[0, 0, 0]
+            h = (lam32.astype(h.dtype) * h
+                 + (1.0 - lam32).astype(h.dtype) * hp_ref[0])
         z = jnp.dot(h, wf_ref[:].astype(h.dtype),
                     preferred_element_type=jnp.float32) + bf_ref[0]
         x = jnp.maximum(z, 0.0).astype(h.dtype)
@@ -537,12 +561,32 @@ def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float,
 
 def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float,
                                  need_dh: bool = True,
-                                 gate_math: str = "exact"):
+                                 gate_math: str = "exact",
+                                 mixed: bool = False):
     tanh_fn, sigmoid_fn = _gate_fns(gate_math)
+    if mixed and need_dh:
+        raise ValueError("in-kernel mixup requires input_grad=False "
+                         "(the h cotangent would need a scatter to the "
+                         "partner bag; the engines never differentiate bags)")
 
-    def kernel(h_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
-               wc_ref, mask_ref, seed_ref, p_ref, gm_ref, gp_ref, gs_ref,
-               *out_refs):
+    def kernel(*refs):
+        if mixed:
+            (perm_ref, lam_ref, h_ref, hp_ref, wf_ref, bf_ref, wa_ref,
+             ba_ref, wb_ref, bb_ref, wc_ref, mask_ref, seed_ref, p_ref,
+             gm_ref, gp_ref, gs_ref, *out_refs) = refs
+            mix = (lam_ref, hp_ref)
+        else:
+            (h_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
+             wc_ref, mask_ref, seed_ref, p_ref, gm_ref, gp_ref, gs_ref,
+             *out_refs) = refs
+            mix = None
+        return body(h_ref, mix, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref,
+                    bb_ref, wc_ref, mask_ref, seed_ref, p_ref, gm_ref,
+                    gp_ref, gs_ref, out_refs)
+
+    def body(h_ref, mix, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
+             wc_ref, mask_ref, seed_ref, p_ref, gm_ref, gp_ref, gs_ref,
+             out_refs):
         if need_dh:
             (dh_ref, dwf_ref, dbf_ref, dwa_ref, dba_ref, dwb_ref, dbb_ref,
              dwc_ref, dbc_ref) = out_refs
@@ -563,6 +607,13 @@ def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float,
             dbc_ref[:] = jnp.zeros_like(dbc_ref)
 
         h = h_ref[0]
+        if mix is not None:
+            # recompute the in-VMEM mix exactly as the forward did; the
+            # trunk grads below then see the mixed bag as their input
+            lam_ref, hp_ref = mix
+            lam32 = lam_ref[0, 0, 0]
+            h = (lam32.astype(h.dtype) * h
+                 + (1.0 - lam32).astype(h.dtype) * hp_ref[0])
         p = p_ref[0, 0]
         gm = gm_ref[0, 0]
         mask = mask_ref[0, 0]
@@ -673,95 +724,162 @@ def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float,
 
 def _fused_trunk_fwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed,
                             gated: bool, dropout: float,
-                            gate_math: str = "exact"):
+                            gate_math: str = "exact", mix=None):
     b, n, fin = h.shape
     l1 = wf.shape[1]
     d = wa.shape[1]
-    m, p, s = pl.pallas_call(
-        _make_fused_trunk_fwd_kernel(gated, dropout, gate_math),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, n, fin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fin, l1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, l1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 1, l1), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
-        ],
-    )(h, wf, bf.reshape(1, -1), wa, ba.reshape(1, -1), wb, bb.reshape(1, -1),
-      wc.reshape(-1, 1), bc.reshape(1, 1), mask.reshape(b, 1, n),
-      seed.reshape(1, 1))
+
+    # index maps gain the prefetched perm operand in the mixed variant
+    def im(f):
+        return (lambda i, perm: f(i)) if mix is not None else f
+
+    bag_specs = []
+    if mix is not None:
+        bag_specs = [
+            pl.BlockSpec((1, 1, 1), lambda i, perm: (i, 0, 0),
+                         memory_space=pltpu.SMEM),  # lam
+        ]
+    bag_specs += [
+        pl.BlockSpec((1, n, fin), im(lambda i: (i, 0, 0)),
+                     memory_space=pltpu.VMEM),  # h (self)
+    ]
+    if mix is not None:
+        bag_specs += [
+            # partner bag: same array, block index from the prefetched perm
+            pl.BlockSpec((1, n, fin), lambda i, perm: (perm[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    in_specs = bag_specs + [
+        pl.BlockSpec((fin, l1), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, l1), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((l1, d), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((l1, d), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 1), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n), im(lambda i: (i, 0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), im(lambda i: (0, 0)), memory_space=pltpu.SMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, l1), im(lambda i: (i, 0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n), im(lambda i: (i, 0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n), im(lambda i: (i, 0, 0)), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, 1, l1), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+    ]
+    kernel = _make_fused_trunk_fwd_kernel(gated, dropout, gate_math,
+                                          mixed=mix is not None)
+    args = [h, wf, bf.reshape(1, -1), wa, ba.reshape(1, -1), wb,
+            bb.reshape(1, -1), wc.reshape(-1, 1), bc.reshape(1, 1),
+            mask.reshape(b, 1, n), seed.reshape(1, 1)]
+    if mix is None:
+        m, p, s = pl.pallas_call(
+            kernel, grid=(b,), in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape,
+        )(*args)
+    else:
+        perm, lam = mix
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(b,), in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        m, p, s = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+        )(perm.astype(jnp.int32),
+          lam.reshape(b, 1, 1).astype(jnp.float32), h, h, *args[1:])
     return m[:, 0], p[:, 0], s[:, 0]
 
 
 def _fused_trunk_bwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p,
                             gm, gp, gs, gated: bool, dropout: float,
-                            need_dh: bool = True, gate_math: str = "exact"):
+                            need_dh: bool = True, gate_math: str = "exact",
+                            mix=None):
     b, n, fin = h.shape
     l1 = wf.shape[1]
     d = wa.shape[1]
-    outs = pl.pallas_call(
-        _make_fused_trunk_bwd_kernel(gated, dropout, need_dh, gate_math),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, n, fin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fin, l1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, l1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=([
-            pl.BlockSpec((1, n, fin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ] if need_dh else []) + [
-            pl.BlockSpec((fin, l1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((l1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=([
-            jax.ShapeDtypeStruct((b, n, fin), h.dtype),
-        ] if need_dh else []) + [
-            jax.ShapeDtypeStruct((fin, l1), jnp.float32),
-            jax.ShapeDtypeStruct((1, l1), jnp.float32),
-            jax.ShapeDtypeStruct((l1, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
-            jax.ShapeDtypeStruct((l1, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
-            jax.ShapeDtypeStruct((d, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ],
-    )(h, wf, bf.reshape(1, -1), wa, ba.reshape(1, -1), wb, bb.reshape(1, -1),
-      wc.reshape(-1, 1), mask.reshape(b, 1, n), seed.reshape(1, 1),
-      p.reshape(b, 1, n), gm.reshape(b, 1, l1), gp.reshape(b, 1, n),
-      gs.reshape(b, 1, n))
+
+    def im(f):
+        return (lambda i, perm: f(i)) if mix is not None else f
+
+    bag_specs = []
+    if mix is not None:
+        bag_specs = [
+            pl.BlockSpec((1, 1, 1), lambda i, perm: (i, 0, 0),
+                         memory_space=pltpu.SMEM),  # lam
+        ]
+    bag_specs += [
+        pl.BlockSpec((1, n, fin), im(lambda i: (i, 0, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    if mix is not None:
+        bag_specs += [
+            pl.BlockSpec((1, n, fin), lambda i, perm: (perm[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    in_specs = bag_specs + [
+        pl.BlockSpec((fin, l1), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, l1), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((l1, d), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((l1, d), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 1), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n), im(lambda i: (i, 0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), im(lambda i: (0, 0)), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, n), im(lambda i: (i, 0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, l1), im(lambda i: (i, 0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n), im(lambda i: (i, 0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n), im(lambda i: (i, 0, 0)), memory_space=pltpu.VMEM),
+    ]
+    out_specs = ([
+        pl.BlockSpec((1, n, fin), im(lambda i: (i, 0, 0)), memory_space=pltpu.VMEM),
+    ] if need_dh else []) + [
+        pl.BlockSpec((fin, l1), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, l1), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((l1, d), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((l1, d), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 1), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), im(lambda i: (0, 0)), memory_space=pltpu.VMEM),
+    ]
+    out_shape = ([
+        jax.ShapeDtypeStruct((b, n, fin), h.dtype),
+    ] if need_dh else []) + [
+        jax.ShapeDtypeStruct((fin, l1), jnp.float32),
+        jax.ShapeDtypeStruct((1, l1), jnp.float32),
+        jax.ShapeDtypeStruct((l1, d), jnp.float32),
+        jax.ShapeDtypeStruct((1, d), jnp.float32),
+        jax.ShapeDtypeStruct((l1, d), jnp.float32),
+        jax.ShapeDtypeStruct((1, d), jnp.float32),
+        jax.ShapeDtypeStruct((d, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    ]
+    kernel = _make_fused_trunk_bwd_kernel(gated, dropout, need_dh, gate_math,
+                                          mixed=mix is not None)
+    args = [h, wf, bf.reshape(1, -1), wa, ba.reshape(1, -1), wb,
+            bb.reshape(1, -1), wc.reshape(-1, 1), mask.reshape(b, 1, n),
+            seed.reshape(1, 1), p.reshape(b, 1, n), gm.reshape(b, 1, l1),
+            gp.reshape(b, 1, n), gs.reshape(b, 1, n)]
+    if mix is None:
+        outs = pl.pallas_call(
+            kernel, grid=(b,), in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape,
+        )(*args)
+    else:
+        perm, lam = mix
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(b,), in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        outs = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+        )(perm.astype(jnp.int32),
+          lam.reshape(b, 1, 1).astype(jnp.float32), h, h, *args[1:])
     if need_dh:
         dh, dwf, dbf, dwa, dba, dwb, dbb, dwc, dbc = outs
     else:
@@ -773,7 +891,35 @@ def _fused_trunk_bwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p,
 
 
 def _make_fused_trunk_op(gated: bool, dropout: float, input_grad: bool = True,
-                         gate_math: str = "exact"):
+                         gate_math: str = "exact", mixed: bool = False):
+    if mixed:
+        @jax.custom_vjp
+        def mop(h, perm, lam, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed):
+            return _fused_trunk_fwd_pallas(
+                h, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed, gated,
+                dropout, gate_math, mix=(perm, lam))
+
+        def mfwd(h, perm, lam, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed):
+            m, p, s = _fused_trunk_fwd_pallas(
+                h, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed, gated,
+                dropout, gate_math, mix=(perm, lam))
+            return (m, p, s), (h, perm, lam, wf, bf, wa, ba, wb, bb, wc,
+                               mask, seed, p)
+
+        def mbwd(res, cot):
+            h, perm, lam, wf, bf, wa, ba, wb, bb, wc, mask, seed, p = res
+            gm, gp, gs = cot
+            dh, dwf, dbf, dwa, dba, dwb, dbb, dwc, dbc = _fused_trunk_bwd_pallas(
+                h, wf, bf, wa, ba, wb, bb, wc, mask, seed, p, gm, gp, gs,
+                gated, dropout, need_dh=False, gate_math=gate_math,
+                mix=(perm, lam),
+            )
+            return (dh, None, None, dwf, dbf, dwa, dba, dwb, dbb, dwc, dbc,
+                    None, None)
+
+        mop.defvjp(mfwd, mbwd)
+        return mop
+
     @jax.custom_vjp
     def op(h, wf, bf, wa, ba, wb, bb, wc, bc, mask, seed):
         return _fused_trunk_fwd_pallas(h, wf, bf, wa, ba, wb, bb, wc, bc,
@@ -820,7 +966,7 @@ def fused_trunk_attention_pool(h, wf, bf, wa, ba, wb, bb, wc, bc, mask=None,
                                impl: str = "auto", gated: bool = True,
                                dropout: float = 0.0, seed=None,
                                input_grad: bool = True,
-                               gate_math: str = "exact"):
+                               gate_math: str = "exact", mix=None):
     """CLAM trunk + gated attention pooling in ONE kernel.
 
     ``h``: raw patch features (B, N, Fin). Returns ``(M (B, L1), p, s)``
@@ -836,18 +982,45 @@ def fused_trunk_attention_pool(h, wf, bf, wa, ba, wb, bb, wc, bc, mask=None,
     ``gate_math='approx'``: relaxed-ulp rational tanh/sigmoid gates in the
     kernels (see :func:`fast_tanh`; abs err <= ~1e-3, invisible after the
     bf16 activation cast). The XLA golden always computes exactly.
+
+    ``mix=(perm, lam)`` fuses bag-level mixup into the kernel: bag ``i``
+    becomes ``lam[i]*h[i] + (1-lam[i])*h[perm[i]]`` before the trunk, the
+    partner block-gathered via scalar prefetch — the mixed (B, N, Fin)
+    tensor never exists in HBM (reference mixup on selected sub-bags,
+    ``train_MuRCL.py:239,268``; numerics identical to
+    :func:`murcl_tpu.ops.compact_pallas.mixup_rows` then this op).
+    Requires ``input_grad=False`` (bags are data). Non-pallas paths apply
+    the same mix expression explicitly, then proceed.
     """
     if mask is None:
         mask = jnp.ones(h.shape[:2], dtype=bool)
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if mix is not None and (impl != "pallas" or input_grad):
+        if input_grad and impl == "pallas":
+            raise ValueError("mix requires input_grad=False")
+        # explicit mix, mixup_rows-identical numerics (1-lam in f32)
+        perm, lam = mix
+        lam32 = lam.reshape(-1, 1, 1).astype(jnp.float32)
+        h = (lam32.astype(h.dtype) * h
+             + (1.0 - lam32).astype(h.dtype) * h[perm])
+        mix = None
     if impl == "pallas":
-        key = (gated, float(dropout), bool(input_grad), gate_math)
+        key = (gated, float(dropout), bool(input_grad), gate_math,
+               mix is not None)
         if key not in _FUSED_TRUNK_OPS:
             _FUSED_TRUNK_OPS[key] = _make_fused_trunk_op(
-                gated, float(dropout), bool(input_grad), gate_math)
+                gated, float(dropout), bool(input_grad), gate_math,
+                mixed=mix is not None)
         if seed is None:
             seed = jnp.zeros((), jnp.int32)
+        if mix is not None:
+            perm, lam = mix
+            return _FUSED_TRUNK_OPS[key](
+                h, perm, lam, wf, bf, wa, ba, wb, bb, wc,
+                jnp.asarray(bc, jnp.float32).reshape(()), mask,
+                jnp.asarray(seed, jnp.int32),
+            )
         return _FUSED_TRUNK_OPS[key](
             h, wf, bf, wa, ba, wb, bb, wc,
             jnp.asarray(bc, jnp.float32).reshape(()), mask,

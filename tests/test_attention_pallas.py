@@ -396,3 +396,58 @@ def test_tiled_approx_gate_math(rng):
     want = gap.gated_attention_pool_xla(x, wa, ba, wb, bb, wc, bc, mask=mask)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=5e-3)
+
+
+# ----------------------------------------------------- in-kernel mixup fusion --
+def test_fused_trunk_mix_matches_premixed(trunk_inputs, rng):
+    """mix=(perm, lam) inside the fused kernel == mixup_rows then the plain
+    fused kernel — bitwise (same mix formula), fwd and parameter grads."""
+    from murcl_tpu.ops.compact_pallas import mixup_rows
+
+    h, wf, bf, wa, ba, wb, bb, wc, bc, mask = trunk_inputs
+    perm = jnp.asarray([2, 0, 1], jnp.int32)
+    lam = jnp.asarray(rng.uniform(0.9, 1.0, size=(B,)).astype(np.float32))
+
+    premixed = mixup_rows(h, perm, lam, interpret=True)
+    want = gap.fused_trunk_attention_pool(
+        premixed, wf, bf, wa, ba, wb, bb, wc, bc, mask=mask, impl="pallas",
+        gated=True, input_grad=False)
+    got = gap.fused_trunk_attention_pool(
+        h, wf, bf, wa, ba, wb, bb, wc, bc, mask=mask, impl="pallas",
+        gated=True, input_grad=False, mix=(perm, lam))
+    for name, w, g in zip(["m", "p", "s"], want, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      err_msg=name)
+
+    def loss(use_mix):
+        def f(wf_, wa_, wb_, wc_):
+            hh = h if use_mix else premixed
+            m, p, s = gap.fused_trunk_attention_pool(
+                hh, wf_, bf, wa_, ba, wb_, bb, wc_, bc, mask=mask,
+                impl="pallas", gated=True, input_grad=False,
+                mix=(perm, lam) if use_mix else None)
+            return jnp.sum(m * m) + jnp.sum(jnp.sin(p))
+        return f
+
+    g_pre = jax.grad(loss(False), argnums=(0, 1, 2, 3))(wf, wa, wb, wc)
+    g_mix = jax.grad(loss(True), argnums=(0, 1, 2, 3))(wf, wa, wb, wc)
+    for name, a, b in zip(["wf", "wa", "wb", "wc"], g_pre, g_mix):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6,
+                                   err_msg=name)
+
+
+def test_fused_trunk_mix_xla_path_matches(trunk_inputs, rng):
+    """The non-pallas route applies the identical explicit mix expression."""
+    from murcl_tpu.ops.compact_pallas import mixup_rows
+
+    h, wf, bf, wa, ba, wb, bb, wc, bc, mask = trunk_inputs
+    perm = jnp.asarray([1, 2, 0], jnp.int32)
+    lam = jnp.asarray(rng.uniform(0.9, 1.0, size=(B,)).astype(np.float32))
+    premixed = mixup_rows(h, perm, lam, interpret=True)
+    want = gap.fused_trunk_attention_pool_xla(
+        premixed, wf, bf, wa, ba, wb, bb, wc, bc, mask=mask, gated=True)
+    got = gap.fused_trunk_attention_pool(
+        h, wf, bf, wa, ba, wb, bb, wc, bc, mask=mask, impl="xla",
+        gated=True, mix=(perm, lam))
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)

@@ -446,3 +446,102 @@ def test_supervised_batched_prime_gate_stops_t0_grads(small_bank):
     for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_kernel_mix_route_matches_mixup_rows_route(small_bank, monkeypatch):
+    """CLAM batched stage-1 with mixup fused into the attention kernel ==
+    the standalone mixup_rows route, bitwise (same draws, same mix
+    formula). Forces the TPU compact path on CPU via interpret-mode
+    kernels; dropout 0 (the in-kernel PRNG has no CPU interpret rule)."""
+    from jax.experimental import pallas as pl
+
+    import murcl_tpu.engine.contrastive as ce
+    import murcl_tpu.engine.supervised as se
+    import murcl_tpu.ops.attention_pallas as gap
+    import murcl_tpu.ops.compact_pallas as cp
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    for mod in (gap, cp):
+        monkeypatch.setattr(mod.pl, "pallas_call", interp)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    model, feat_dim = build_aggregator(
+        "CLAM_SB", dim_in=DIM,
+        arch_setting={"k_sample": 3, "dropout": 0.0})
+    model = model.clone(attn_impl="pallas")
+    fc = FullLayer(feature_num=feat_dim, hidden_state_dim=16, class_num=8)
+    cfg = PretrainConfig(arch="CLAM_SB", T=T, feat_size=F, num_clusters=K,
+                         max_patches=small_bank.max_patches, train_stage=1,
+                         batch_size=4)
+    engine = ContrastiveEngine(cfg, model, fc, tx=optax.adam(1e-3))
+    rng = jax.random.PRNGKey(0)
+    params = engine.init_params(rng, jnp.zeros((4, F, DIM), jnp.float32))
+    bank_arrays = BankArrays.from_bank(small_bank)
+    ids = jnp.asarray([0, 3, 5, 6], jnp.int32)
+
+    assert engine._fused_trunk_mix(jnp.zeros((1, F, DIM), jnp.float32))
+    (_, (stats_fused, _)) = engine._rollout_batched(
+        params, bank_arrays, ids, jax.random.PRNGKey(7), train=True)
+
+    # same engine, kernel-mix disabled -> standalone mixup_rows kernel
+    monkeypatch.setattr(ContrastiveEngine, "_fused_trunk_mix",
+                        lambda self, x: False)
+    (_, (stats_rows, _)) = engine._rollout_batched(
+        params, bank_arrays, ids, jax.random.PRNGKey(7), train=True)
+
+    np.testing.assert_array_equal(np.asarray(stats_fused.loss),
+                                  np.asarray(stats_rows.loss))
+    np.testing.assert_array_equal(np.asarray(stats_fused.step_losses),
+                                  np.asarray(stats_rows.step_losses))
+
+
+def test_kernel_mix_sequential_route_matches(small_bank, monkeypatch):
+    """Sequential-layout rollout (the stage-2/3 shape) with kernel-fused
+    mixup == the XLA mixup route to 1 f32 ulp (identical draws; the mix formulas
+    coincide in f32 up to XLA's FMA contraction freedom)."""
+    from jax.experimental import pallas as pl
+
+    import murcl_tpu.ops.attention_pallas as gap
+    import murcl_tpu.ops.compact_pallas as cp
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    for mod in (gap, cp):
+        monkeypatch.setattr(mod.pl, "pallas_call", interp)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    model, feat_dim = build_aggregator(
+        "CLAM_SB", dim_in=DIM,
+        arch_setting={"k_sample": 3, "dropout": 0.0})
+    model = model.clone(attn_impl="pallas")
+    fc = FullLayer(feature_num=feat_dim, hidden_state_dim=16, class_num=8)
+    cfg = PretrainConfig(arch="CLAM_SB", T=T, feat_size=F, num_clusters=K,
+                         max_patches=small_bank.max_patches, train_stage=1,
+                         batch_size=4, stage1_layout="sequential")
+    engine = ContrastiveEngine(cfg, model, fc, tx=optax.adam(1e-3))
+    rng = jax.random.PRNGKey(0)
+    params = engine.init_params(rng, jnp.zeros((4, F, DIM), jnp.float32))
+    bank_arrays = BankArrays.from_bank(small_bank)
+    ids = jnp.asarray([1, 2, 4, 7], jnp.int32)
+
+    (_, (stats_fused, _)) = engine._rollout_sequential(
+        params, None, bank_arrays, ids, jax.random.PRNGKey(3), train=True)
+    monkeypatch.setattr(ContrastiveEngine, "_fused_trunk_mix",
+                        lambda self, x: False)
+    (_, (stats_xla, _)) = engine._rollout_sequential(
+        params, None, bank_arrays, ids, jax.random.PRNGKey(3), train=True)
+
+    # XLA may contract the mix's mul-add into an FMA; 1-ulp f32 slack
+    np.testing.assert_allclose(np.asarray(stats_fused.loss),
+                               np.asarray(stats_xla.loss), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats_fused.step_losses),
+                               np.asarray(stats_xla.step_losses), rtol=1e-6)
