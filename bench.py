@@ -51,8 +51,10 @@ def _synthetic_bank():
 
 def measure_ours(steps: int = None, warmup: int = 2) -> float:
     if steps is None:
-        # MURCL_BENCH_STEPS=100 for the sustained-rate confirmation runs
-        steps = int(os.environ.get("MURCL_BENCH_STEPS", "10"))
+        # default 100: the sustained rate. Short runs under-read by ~10%
+        # through the tunnel because the ~9 ms/step dispatch RPC only
+        # amortizes across a deep async pipeline (BASELINE.md)
+        steps = int(os.environ.get("MURCL_BENCH_STEPS", "100"))
     import jax
 
     # hardware-backed PRNG for dropout masks: threefry keygen costs ~35%
