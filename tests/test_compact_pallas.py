@@ -168,3 +168,30 @@ def test_pallas_kernel_multi_tile_ragged_interpret():
                           interpret=True, variant="tiled")
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
 
+
+
+def test_banded_tiled_kernel_matches_golden_interpret():
+    """The tiled variant's banded one-hot path (SMEM-carried running kept
+    count across the tile grid) == the XLA golden bitwise — incl. small
+    bags (dead-tile skip), truncation past feat_size, f32 and bf16."""
+    from murcl_tpu.ops.compact_pallas import _banded_slab
+
+    rng = np.random.default_rng(9)
+    feats, clusters, bank = _bank(rng, batch=5, min_n=40, max_n=700)
+    ids = jnp.asarray([1, 0, 4, 2, 3], jnp.int32)
+    actions = jnp.asarray(rng.random((5, K)), jnp.float32)
+    feat_size = 512
+    assert _banded_slab(128, feat_size) > 0  # banded path is active
+    for dtype in (jnp.float32, jnp.bfloat16):
+        bf = jnp.asarray(bank.feats, dtype)
+        ranks, row_offs, _ = select_ranks(
+            ids, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
+            jnp.asarray(bank.cluster_sizes), actions,
+            jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
+            feat_size=feat_size,
+        )
+        want = gather_compact_xla(bf, row_offs, ranks, feat_size)
+        got = gather_compact(bf, row_offs, ranks, feat_size,
+                             num_patches=jnp.asarray(bank.num_patches)[ids],
+                             interpret=True, variant="tiled")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
