@@ -359,3 +359,33 @@ def test_compaction_kernel_under_shard_map(mesh):
         got = sharded(place_batch(mesh, ranks), place_batch(mesh, row_offs))
     want = gather_compact_xla(bf, row_offs, ranks, FEAT_SIZE)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_calls_replicate_under_jit_namedsharding(mesh, monkeypatch):
+    """Measured SPMD behavior pinned as a regression test: a pallas_call
+    inside plain jit with a batch-SHARDED operand compiles and computes
+    correctly — XLA replicates the custom call's operands (all-gather)
+    rather than partitioning it. Correctness holds at any mesh size; for
+    scaling, the per-shard route is shard_map (tests above) or the XLA
+    impls (`select_impl='xla'`), which partition with collectives.
+    PARITY.md documents the recipe."""
+    from jax.experimental import pallas as pl
+
+    import murcl_tpu.ops.compact_pallas as cp
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        cp.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    b, n, f = BATCH, 8, 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, n, f)).astype(np.float32))
+    perm = jnp.asarray(rng.permutation(b), jnp.int32)
+    lam = jnp.asarray(rng.uniform(0.9, 1.0, b).astype(np.float32))
+    fn = jax.jit(lambda x_: cp.mixup_rows(x_, perm, lam, interpret=True))
+    with mesh:
+        out = fn(place_batch(mesh, x))
+    want = (np.asarray(lam)[:, None, None] * np.asarray(x)
+            + (1 - np.asarray(lam))[:, None, None] * np.asarray(x)[np.asarray(perm)])
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
