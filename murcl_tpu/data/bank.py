@@ -147,7 +147,7 @@ def build_bank(
     data_csv,
     indices: Optional[Sequence[str]] = None,
     num_clusters: Optional[int] = None,
-    max_patches_pad: int = 128,
+    max_patches_pad: int = 256,
     cluster_pad: int = 8,
     global_max_patches: Optional[int] = None,
     global_max_cluster: Optional[int] = None,
@@ -241,7 +241,7 @@ def bank_from_arrays(
     cluster_lists_per_slide: Sequence[List[List[int]]],
     labels: Sequence[int],
     case_ids: Optional[Sequence[str]] = None,
-    max_patches_pad: int = 128,
+    max_patches_pad: int = 256,
     cluster_pad: int = 8,
 ) -> FeatureBank:
     """Build a bank directly from in-memory arrays (tests / synthetic data)."""

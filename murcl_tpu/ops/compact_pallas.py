@@ -285,6 +285,12 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
         resident = window_bytes <= 5 * 1024 * 1024
     else:
         resident = variant == "resident"
+    # tile stays 256 when Nmax allows: at TCGA scale (Nmax ~10k) the tiled
+    # grid walks B * Nmax/tile steps, and tile=256 vs 128 is a measured
+    # +9.6% whole-step win (fewer grid steps + bigger DMAs beat the 1.5x
+    # banded-slab FLOPs; bank builders pad Nmax to 256 for this).
+    # tile=512 compiled but hit a TPU backend INTERNAL error at runtime
+    # (2026-08-17) — do not re-attempt without a toolchain change.
 
     in_specs = [
         # (B, 1, Nmax) so the block's last two dims equal the array's

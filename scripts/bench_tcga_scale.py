@@ -50,7 +50,9 @@ def main():
         clusters.append([[int(j) for j in np.where(a == c)[0]] for c in range(K)])
         feats.append(f)
         labels.append(i % 2)
-    bank = bank_from_arrays(feats, clusters, labels).device(dtype=jnp.bfloat16)
+    pad = int(os.environ.get("MURCL_BANK_PAD", "256"))
+    bank = bank_from_arrays(feats, clusters, labels,
+                            max_patches_pad=pad).device(dtype=jnp.bfloat16)
     n_max = bank.max_patches
     window_mb = 2 * n_max * DIM * 2 / 2**20
     assert window_mb > 5, f"window {window_mb:.1f} MB should exceed the resident budget"
