@@ -176,6 +176,35 @@ def main():
     assert bool(jnp.isfinite(gdrop).all()) and float(jnp.abs(gdrop).max()) > 0
     print("fused trunk+attention kernel (fwd/bwd + dropout): OK")
 
+    # ---- in-kernel mixup (the round-3 production pretrain path) ------------
+    # mix=(perm, lam) inside the kernel must equal mixup_rows followed by
+    # the plain kernel EXACTLY, including the dropout path: the per-bag
+    # PRNG stream (seed + program_id) is identical either way.
+    from murcl_tpu.ops.compact_pallas import mixup_rows
+
+    perm = jnp.asarray(rng.permutation(B), jnp.int32)
+    lam = jnp.asarray(rng.uniform(0.9, 1.0, size=(B,)).astype(np.float32))
+    premixed = mixup_rows(h, perm, lam)
+    for drop, seed in ((0.0, None), (0.25, 11)):
+        kw = dict(impl="pallas", gated=True, dropout=drop, seed=seed,
+                  input_grad=False)
+        want_m, want_p, _ = fused_trunk_attention_pool(
+            premixed, wf, bf, wa, ba, wb, bb, wc, bc, **kw)
+        got_m, got_p, _ = fused_trunk_attention_pool(
+            h, wf, bf, wa, ba, wb, bb, wc, bc, mix=(perm, lam), **kw)
+        assert bool(jnp.array_equal(got_m, want_m)), f"mix fwd drop={drop}"
+        assert bool(jnp.array_equal(got_p, want_p)), f"mix weights drop={drop}"
+    gmix = jax.grad(lambda wf_: jnp.sum(fused_trunk_attention_pool(
+        h, wf_, bf, wa, ba, wb, bb, wc, bc, mix=(perm, lam), seed=5,
+        impl="pallas", gated=True, dropout=0.25, input_grad=False,
+    )[0] ** 2))(wf)
+    gpre = jax.grad(lambda wf_: jnp.sum(fused_trunk_attention_pool(
+        premixed, wf_, bf, wa, ba, wb, bb, wc, bc, seed=5,
+        impl="pallas", gated=True, dropout=0.25, input_grad=False,
+    )[0] ** 2))(wf)
+    assert bool(jnp.array_equal(gmix, gpre)), "mix bwd"
+    print("in-kernel mixup (fwd/bwd + dropout, bitwise vs mixup_rows): OK")
+
     # ---- tiled streaming kernel at full-slide scale ------------------------
     import time
 
