@@ -57,6 +57,7 @@ class ContrastiveEngine:
         fc,
         ppo: Optional[PPO] = None,
         tx: Optional[optax.GradientTransformation] = None,
+        mesh=None,
     ):
         if cfg.uses_policy and ppo is None:
             raise ValueError(f"stage {cfg.train_stage} requires a PPO policy")
@@ -73,7 +74,53 @@ class ContrastiveEngine:
         self.ppo = ppo
         self.tx = tx
         self._cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self._train = jax.jit(self._train_impl)
+        # ``mesh``: SPMD data-parallel mode (shard_map per-shard program so
+        # the Pallas kernels partition and scale). NT-Xent keeps its
+        # GLOBAL-batch semantics via an in-program all_gather of the (B, C)
+        # projections (tiny next to the bags); grads psum before the
+        # replicated update. Mixup pairs WITHIN each shard in this mode
+        # (PARITY.md §spmd) — the rng folds in the shard index so draws
+        # differ per shard.
+        self._mesh = mesh
+        self._axis = "data" if mesh is not None else None
+        if mesh is None:
+            self._train = jax.jit(self._train_impl)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            stats_spec = PretrainStats(
+                loss=P(), step_losses=P(), rewards=P())
+            rollout_spec = Rollout(
+                states=P(None, "data"), actions=P(None, "data"),
+                logprobs=P(None, "data"), rewards=P(None, "data"))
+            self._train = jax.jit(jax.shard_map(
+                self._train_impl, mesh=mesh,
+                in_specs=(P(), P(), P(), P("data"), P()),
+                out_specs=(P(), stats_spec, (rollout_spec, rollout_spec)),
+                check_vma=False))
+
+    def _shard_rng(self, rng):
+        """Per-shard rng stream (actions / mixup / in-kernel dropout seeds)."""
+        if self._axis is None:
+            return rng
+        return jax.random.fold_in(rng, jax.lax.axis_index(self._axis))
+
+    def _nt_xent(self, a, b):
+        """NT-Xent over the GLOBAL batch (reference gathered-batch
+        semantics, tests/test_parallel.py:192): in SPMD mode the per-shard
+        projections all_gather over the data axis first — the gradient
+        flows back through the gather (transpose: each shard receives its
+        own slice's cotangent)."""
+        if self._axis is not None:
+            a = jax.lax.all_gather(a, self._axis, axis=0, tiled=True)
+            b = jax.lax.all_gather(b, self._axis, axis=0, tiled=True)
+        return nt_xent(a, b, self.cfg.temperature)
+
+    def _bmean(self, x, axis):
+        m = jnp.mean(x, axis=axis)
+        if self._axis is not None:
+            m = jax.lax.pmean(m, self._axis)
+        return m
 
     # ------------------------------------------------------------- setup --
     def init_params(self, rng, example_feats):
@@ -222,8 +269,7 @@ class ContrastiveEngine:
         proj_b = jnp.concatenate([proj0_b[None], pbs])
 
         step_losses = jnp.stack(
-            [nt_xent(proj_a[t], proj_b[t], cfg.temperature)
-             for t in range(t_steps)]
+            [self._nt_xent(proj_a[t], proj_b[t]) for t in range(t_steps)]
         )
         total = jnp.sum(step_losses) / t_steps
 
@@ -242,7 +288,7 @@ class ContrastiveEngine:
         )
         stats = PretrainStats(
             loss=total, step_losses=step_losses,
-            rewards=jnp.mean(rewards, axis=1),
+            rewards=self._bmean(rewards, 1),
         )
         return total, (stats, rollouts)
 
@@ -319,7 +365,7 @@ class ContrastiveEngine:
         proj0, proj1, state0, state1, fc_carry = pair_forward(
             act0, act1, None, rv0, True
         )
-        loss0 = nt_xent(proj0, proj1, cfg.temperature)
+        loss0 = self._nt_xent(proj0, proj1)
         sim0 = cosine_similarity(
             jax.lax.stop_gradient(proj0), jax.lax.stop_gradient(proj1)
         )
@@ -349,7 +395,7 @@ class ContrastiveEngine:
                 action_a, action_b, fc_c, r_va, False
             )
 
-            loss_t = nt_xent(proj_a, proj_b, cfg.temperature)
+            loss_t = self._nt_xent(proj_a, proj_b)
             sim = cosine_similarity(
                 jax.lax.stop_gradient(proj_a), jax.lax.stop_gradient(proj_b)
             )
@@ -371,7 +417,7 @@ class ContrastiveEngine:
             for p in (psteps_a, psteps_b)
         )
         stats = PretrainStats(
-            loss=total, step_losses=step_losses, rewards=jnp.mean(rewards, axis=1)
+            loss=total, step_losses=step_losses, rewards=self._bmean(rewards, 1)
         )
         return total, (stats, rollouts)
 
@@ -379,6 +425,7 @@ class ContrastiveEngine:
     def _train_impl(self, agg_state: AggTrainState, ppo_params,
                     bank: BankArrays, slide_ids, rng):
         cfg = self.cfg
+        rng = self._shard_rng(rng)
         if cfg.train_stage == 2:
             _, (stats, rollouts) = self._rollout(
                 jax.lax.stop_gradient(agg_state.params), ppo_params, bank,
@@ -392,6 +439,14 @@ class ContrastiveEngine:
         (_, (stats, rollouts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             agg_state.params
         )
+        if self._axis is not None:
+            # the NT-Xent losses flow entirely through the all_gather'd
+            # projections, so the loss is computed redundantly on all N
+            # shards and the gather's transpose (psum_scatter) hands each
+            # shard N x its local contribution (measured). pmean — not psum
+            # — reconstructs the exact global-batch gradient; the update
+            # runs replicated.
+            grads = jax.lax.pmean(grads, self._axis)
         updates, opt_state = self.tx.update(grads, agg_state.opt_state, agg_state.params)
         params = optax.apply_updates(agg_state.params, updates)
         return AggTrainState(params=params, opt_state=opt_state), stats, rollouts

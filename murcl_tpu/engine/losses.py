@@ -6,25 +6,33 @@ import jax
 import jax.numpy as jnp
 
 
-def cross_entropy(logits, labels, valid=None):
+def cross_entropy(logits, labels, valid=None, axis_name=None):
     """Torch ``CrossEntropyLoss`` semantics: mean over the batch.
 
     ``valid`` (B,) bool restricts the mean to real (non-padded) rows —
-    identical to the reference when the batch is full.
+    identical to the reference when the batch is full. ``axis_name`` makes
+    the mean GLOBAL across a shard_map/pmap axis (numerator and count are
+    ``psum``-reduced), so a data-parallel per-shard program computes the
+    same loss the reference's gathered-batch ``DataParallel`` loss does.
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-    if valid is None:
-        return jnp.mean(nll)
-    w = valid.astype(nll.dtype)
-    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return masked_mean(nll, valid, axis_name=axis_name)
 
 
-def masked_mean(x, valid=None):
+def masked_mean(x, valid=None, axis_name=None):
+    """Mean of ``x`` over valid rows; global over ``axis_name`` when set."""
     if valid is None:
-        return jnp.mean(x)
-    w = valid.astype(x.dtype)
-    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+        s = jnp.sum(x)
+        n = jnp.asarray(x.size, x.dtype)
+    else:
+        w = valid.astype(x.dtype)
+        s = jnp.sum(x * w)
+        n = jnp.sum(w)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        n = jax.lax.psum(n, axis_name)
+    return s / jnp.maximum(n, 1.0)
 
 
 def label_confidence(logits, labels):

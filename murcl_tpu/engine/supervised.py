@@ -125,6 +125,7 @@ class SupervisedEngine:
         fc,
         ppo: Optional[PPO] = None,
         tx: Optional[optax.GradientTransformation] = None,
+        mesh=None,
     ):
         if cfg.uses_policy and ppo is None:
             raise ValueError(f"stage {cfg.train_stage} requires a PPO policy")
@@ -141,8 +142,50 @@ class SupervisedEngine:
         self.ppo = ppo
         self.tx = tx
         self._cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self._train = jax.jit(self._train_impl)
-        self._eval = jax.jit(self._eval_impl)
+        # ``mesh``: SPMD data-parallel mode — the step becomes a per-shard
+        # shard_map program (so the Pallas kernels run per shard and SCALE,
+        # unlike global-view jit where XLA replicates custom-call operands;
+        # see tests/test_parallel.py::test_pallas_calls_replicate_*).
+        # Semantics stay global-batch: CE/extras reduce with psum'd
+        # numerator+count, rollout rngs fold in the shard index, grads psum
+        # before the (replicated) optimizer update. PARITY.md §spmd.
+        self._mesh = mesh
+        self._axis = "data" if mesh is not None else None
+        if mesh is None:
+            self._train = jax.jit(self._train_impl)
+            self._eval = jax.jit(self._eval_impl)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            stats_spec = StepStats(
+                loss=P(), step_losses=P(), rewards=P(), logits=P("data"))
+            rollout_spec = Rollout(
+                states=P(None, "data"), actions=P(None, "data"),
+                logprobs=P(None, "data"), rewards=P(None, "data"))
+            in_common = (P(), P(), P(), P("data"), P("data"), P("data"), P())
+            self._train = jax.jit(jax.shard_map(
+                self._train_impl, mesh=mesh, in_specs=in_common,
+                out_specs=(P(), stats_spec, rollout_spec), check_vma=False))
+            self._eval = jax.jit(jax.shard_map(
+                self._eval_impl, mesh=mesh, in_specs=in_common,
+                out_specs=stats_spec, check_vma=False))
+
+    def _shard_rng(self, rng):
+        """Distinct per-shard streams for action draws / mixup / dropout.
+
+        The in-kernel Pallas dropout seeds derive from this rng (the bag
+        index added by the kernel restarts per shard, so shards MUST not
+        share the base seed)."""
+        if self._axis is None:
+            return rng
+        return jax.random.fold_in(rng, jax.lax.axis_index(self._axis))
+
+    def _bmean(self, x, axis):
+        """Batch-axis mean for stats; global (pmean) in SPMD mode."""
+        m = jnp.mean(x, axis=axis)
+        if self._axis is not None:
+            m = jax.lax.pmean(m, self._axis)
+        return m
 
     # ------------------------------------------------------------- setup --
     def init_params(self, rng, example_feats, example_labels):
@@ -195,12 +238,18 @@ class SupervisedEngine:
             return fc_in, 0.5 * nll
         raise ValueError(f"unknown arch {self.cfg.arch!r}")
 
-    def _arch_forward(self, model_params, feats, labels, valid, train, rng):
-        """Returns ``(fc_in (B, F), extra_step_loss scalar)`` per arch."""
+    def _arch_forward(self, model_params, feats, labels, valid, train, rng,
+                      axis_name=None):
+        """Returns ``(fc_in (B, F), extra_step_loss scalar)`` per arch.
+
+        ``axis_name`` must be passed (``self._axis``) only from INSIDE the
+        shard_map program — ``init_params`` calls this outside any mesh,
+        where a named-axis psum would be unbound.
+        """
         fc_in, extra_per = self._arch_forward_raw(
             model_params, feats, labels, train, rng
         )
-        return fc_in, masked_mean(extra_per, valid)
+        return fc_in, masked_mean(extra_per, valid, axis_name=axis_name)
 
     @property
     def _ce_weight(self) -> float:
@@ -257,9 +306,9 @@ class SupervisedEngine:
 
         fc_in_flat, extra_flat = encode_all(x)
         fc_in = fc_in_flat.reshape(t_steps, b, -1)
-        extra_step = jax.vmap(lambda e: masked_mean(e, valid))(
-            extra_flat.reshape(t_steps, b)
-        )
+        extra_step = jax.vmap(
+            lambda e: masked_mean(e, valid, axis_name=self._axis)
+        )(extra_flat.reshape(t_steps, b))
 
         prime_nograd = cfg.arch == "ABMIL" and not cfg.train_model_prime
         fc_in0 = jax.lax.stop_gradient(fc_in[0]) if prime_nograd else fc_in[0]
@@ -275,9 +324,9 @@ class SupervisedEngine:
         _, logits_t = jax.lax.scan(fc_step, fc_carry, fc_in[1:])
         logits_all = jnp.concatenate([logits0[None], logits_t])  # (T, B, C)
 
-        step_ce = jax.vmap(lambda lg: cross_entropy(lg, labels, valid))(
-            logits_all
-        )
+        step_ce = jax.vmap(
+            lambda lg: cross_entropy(lg, labels, valid, axis_name=self._axis)
+        )(logits_all)
         step_losses = self._ce_weight * step_ce + extra_step
         if prime_nograd:
             # extras are zero for ABMIL; CE0 is constant like the reference
@@ -298,7 +347,7 @@ class SupervisedEngine:
         )
         stats = StepStats(
             loss=total, step_losses=step_losses,
-            rewards=jnp.mean(rewards, axis=1), logits=logits_all[-1],
+            rewards=self._bmean(rewards, 1), logits=logits_all[-1],
         )
         return total, (stats, rollout)
 
@@ -329,9 +378,11 @@ class SupervisedEngine:
         @_maybe_remat
         def forward(actions, fc_carry, rngd):
             feats = checkpoint_name(select(actions).astype(self._cdtype), "subbag")
-            fc_in, extra = self._arch_forward(mp, feats, labels, valid, train, rngd)
+            fc_in, extra = self._arch_forward(mp, feats, labels, valid, train,
+                                              rngd, axis_name=self._axis)
             logits, new_carry = self.fc.apply(fcp, fc_in, fc_carry)
-            loss = self._ce_weight * cross_entropy(logits, labels, valid) + extra
+            loss = self._ce_weight * cross_entropy(
+                logits, labels, valid, axis_name=self._axis) + extra
             return logits, new_carry, jax.lax.stop_gradient(fc_in), loss
 
         # ---- t = 0: uniform random actions, fresh GRU hidden -------------
@@ -387,7 +438,7 @@ class SupervisedEngine:
         stats = StepStats(
             loss=total,
             step_losses=step_losses,
-            rewards=jnp.mean(rewards, axis=1),
+            rewards=self._bmean(rewards, 1),
             logits=last_logits,
         )
         return total, (stats, rollout)
@@ -396,6 +447,7 @@ class SupervisedEngine:
     def _train_impl(self, agg_state: AggTrainState, ppo_params, bank: BankArrays,
                     slide_ids, labels, valid, rng):
         cfg = self.cfg
+        rng = self._shard_rng(rng)
         if cfg.train_stage == 2:
             # frozen aggregator (eval mode), collect the rollout for PPO
             _, (stats, rollout) = self._rollout(
@@ -412,6 +464,15 @@ class SupervisedEngine:
         (_, (stats, rollout)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             agg_state.params
         )
+        if self._axis is not None:
+            # every batch reduction in the loss is a psum'd global mean, so
+            # the loss scalar is computed redundantly on all N shards and
+            # the collective transposes hand each shard N x its local
+            # contribution to the (single) global loss (measured: raw grads
+            # sum to N x the true gradient). pmean — not psum — therefore
+            # reconstructs EXACTLY the gradient the reference's
+            # gathered-batch backward computes; the update runs replicated.
+            grads = jax.lax.pmean(grads, self._axis)
         updates, opt_state = self.tx.update(grads, agg_state.opt_state, agg_state.params)
         params = optax.apply_updates(agg_state.params, updates)
         return AggTrainState(params=params, opt_state=opt_state), stats, rollout
@@ -419,7 +480,8 @@ class SupervisedEngine:
     def _eval_impl(self, params, ppo_params, bank: BankArrays, slide_ids,
                    labels, valid, rng):
         _, (stats, _) = self._rollout(
-            params, ppo_params, bank, slide_ids, labels, valid, rng, train=False
+            params, ppo_params, bank, slide_ids, labels, valid,
+            self._shard_rng(rng), train=False
         )
         return stats
 

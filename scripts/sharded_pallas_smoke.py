@@ -102,6 +102,36 @@ def main():
     print(f"sharded Pallas smoke OK: mesh=({n_dev},) 'data', "
           f"{steps / dt:.2f} steps/sec, losses {['%.4f' % l for l in losses]}")
 
+    # ---- phase 2: the SPMD engine mode (round 3) -------------------------
+    # The same canonical step as a per-shard shard_map program — the
+    # production dp-SCALING route for the Pallas kernels. On the 1-chip
+    # tunnel the mesh is (1,), but this is the only place the Mosaic
+    # kernels (not interpret mode) compile and execute INSIDE shard_map on
+    # real hardware; the CPU-mesh counterpart (8-way, interpret) lives in
+    # tests/test_parallel.py section (e).
+    engine_sp = ContrastiveEngine(cfg, model, fc, tx=optax.adam(1e-4),
+                                  mesh=mesh)
+    with mesh:
+        agg = place_replicated(mesh, engine_sp.init_state(params))
+        sp_losses = []
+        t0 = None
+        for i in range(steps + 2):
+            ids = place_batch(mesh, jnp.asarray(
+                rng_np.integers(0, NUM_SLIDES, size=BATCH), jnp.int32))
+            agg, _, stats = engine_sp.train_step(
+                agg, None, bank_arrays, ids, jax.random.PRNGKey(i))
+            loss = float(stats.loss)
+            assert np.isfinite(loss), f"non-finite spmd loss at step {i}: {loss}"
+            sp_losses.append(loss)
+            if i == 1:
+                t0 = time.perf_counter()
+        dt = time.perf_counter() - t0
+        for leaf in jax.tree_util.tree_leaves(agg.params):
+            assert leaf.sharding.is_fully_replicated
+
+    print(f"spmd shard_map engine smoke OK: mesh=({n_dev},) 'data', "
+          f"{steps / dt:.2f} steps/sec, losses {['%.4f' % l for l in sp_losses]}")
+
 
 if __name__ == "__main__":
     main()

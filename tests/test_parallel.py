@@ -389,3 +389,263 @@ def test_pallas_calls_replicate_under_jit_namedsharding(mesh, monkeypatch):
     want = (np.asarray(lam)[:, None, None] * np.asarray(x)
             + (1 - np.asarray(lam))[:, None, None] * np.asarray(x)[np.asarray(perm)])
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# (e) SPMD engine mode (round 3): engines built with ``mesh=`` run the step
+#     as a per-shard shard_map program — the production dp-scaling path for
+#     the Pallas kernels (global-view jit replicates custom-call operands,
+#     test above). Semantics stay global-batch: CE / extras reduce with
+#     psum'd numerator+count, NT-Xent all_gathers the projections, grads
+#     pmean before the replicated update. The per-shard rng folds in the
+#     shard index, so random draws differ from the single-device stream;
+#     these tests reconstruct the folded draws (or neutralize mixup) to
+#     assert EXACT equivalence with a global-view oracle.
+# --------------------------------------------------------------------------
+
+def _shard_actions_supervised(step_rng, n_dev, shape_per_shard):
+    """Replicate the spmd engine's per-shard action draw, concatenated
+    back to the global batch order (axis 1 is the batch axis)."""
+    outs = []
+    for i in range(n_dev):
+        r = jax.random.fold_in(step_rng, i)
+        _, r_act, _ = jax.random.split(r, 3)
+        outs.append(jax.random.uniform(r_act, shape_per_shard))
+    return jnp.concatenate(outs, axis=1)
+
+
+def test_supervised_spmd_matches_global_view_oracle(mesh):
+    """Stage-1 batched supervised: the spmd engine's loss/params equal a
+    global-view run fed the reconstructed per-shard action draws."""
+    import optax as _optax
+
+    bank, labels = _tiny_bank(seed=7)
+    model, feature_num = build_aggregator("ABMIL", dim_in=DIM,
+                                          arch_setting={"L": 32, "D": 8})
+    fc = FullLayer(feature_num=feature_num, hidden_state_dim=32, class_num=2)
+    cfg = RolloutConfig(arch="ABMIL", T=T, feat_size=FEAT_SIZE, num_clusters=K,
+                        max_patches=bank.max_patches, train_stage=1,
+                        num_classes=2)
+    tx = _optax.adam(1e-3)
+    engine_gv = SupervisedEngine(cfg, model, fc, tx=tx)
+    engine_sp = SupervisedEngine(cfg, model, fc, tx=tx, mesh=mesh)
+
+    rng = jax.random.PRNGKey(0)
+    params = engine_gv.init_params(
+        rng, jnp.zeros((BATCH, FEAT_SIZE, DIM), jnp.float32),
+        jnp.zeros((BATCH,), jnp.int32))
+    bank_arrays = BankArrays.from_bank(bank)
+    ids = jnp.arange(BATCH, dtype=jnp.int32)
+    lab = jnp.asarray(labels, jnp.int32)
+    valid = jnp.ones((BATCH,), bool)
+    step_rng = jax.random.PRNGKey(21)
+
+    # spmd step
+    agg_sp = engine_sp.init_state(params)
+    agg_sp, _, stats_sp = engine_sp.train_step(
+        agg_sp, None, bank_arrays, ids, lab, step_rng)
+
+    # oracle: global-view rollout with the reconstructed per-shard actions
+    b_local = BATCH // N_DEV
+    actions = _shard_actions_supervised(
+        step_rng, N_DEV, (T, b_local, cfg.num_clusters))
+
+    def loss_fn(p):
+        return engine_gv._rollout_batched(
+            p, bank_arrays, ids, lab, valid, step_rng, True, actions=actions)
+
+    (_, (stats_o, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    opt_state = tx.init(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    params_o = __import__("optax").apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(stats_sp.loss), float(stats_o.loss),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats_sp.step_losses),
+                               np.asarray(stats_o.step_losses),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats_sp.logits),
+                               np.asarray(stats_o.logits),
+                               rtol=1e-4, atol=1e-5)
+    _tree_allclose(agg_sp.params, params_o, rtol=1e-4, atol=1e-6)
+
+
+def test_contrastive_spmd_matches_global_view_oracle(mesh, monkeypatch):
+    """Stage-1 contrastive: with mixup neutralized (identity on both
+    routes), the spmd engine's NT-Xent losses/params — gathered projections,
+    pmean'd grads — equal the global-view oracle on the reconstructed
+    per-shard actions. Proves the all_gather preserves the GLOBAL-batch
+    NT-Xent through the per-shard program."""
+    import optax as _optax
+
+    import murcl_tpu.engine.contrastive as ce
+
+    monkeypatch.setattr(ce, "mixup", lambda k, x, a: (x, None, None))
+
+    bank, _ = _tiny_bank(seed=8)
+    model, feature_num = build_aggregator("ABMIL", dim_in=DIM,
+                                          arch_setting={"L": 32, "D": 8})
+    fc = FullLayer(feature_num=feature_num, hidden_state_dim=32, class_num=16)
+    cfg = PretrainConfig(arch="ABMIL", T=T, feat_size=FEAT_SIZE, num_clusters=K,
+                         max_patches=bank.max_patches, train_stage=1,
+                         batch_size=BATCH, alpha=0.9, temperature=0.5)
+    tx = _optax.adam(1e-3)
+    engine_gv = ContrastiveEngine(cfg, model, fc, tx=tx)
+    engine_sp = ContrastiveEngine(cfg, model, fc, tx=tx, mesh=mesh)
+
+    rng = jax.random.PRNGKey(0)
+    params = engine_gv.init_params(rng, jnp.zeros((BATCH, FEAT_SIZE, DIM)))
+    bank_arrays = BankArrays.from_bank(bank)
+    ids = jnp.arange(BATCH, dtype=jnp.int32)
+    step_rng = jax.random.PRNGKey(33)
+
+    agg_sp = engine_sp.init_state(params)
+    agg_sp, _, stats_sp = engine_sp.train_step(
+        agg_sp, None, bank_arrays, ids, step_rng)
+
+    b_local = BATCH // N_DEV
+    acts = []
+    for i in range(N_DEV):
+        r = jax.random.fold_in(step_rng, i)
+        _, r_act, _, _ = jax.random.split(r, 4)
+        acts.append(jax.random.uniform(
+            r_act, (T, 2, b_local, cfg.num_clusters)))
+    actions = jnp.concatenate(acts, axis=2)
+
+    def loss_fn(p):
+        return engine_gv._rollout_batched(
+            p, bank_arrays, ids, step_rng, True, actions=actions)
+
+    (_, (stats_o, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    opt_state = tx.init(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    params_o = __import__("optax").apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(stats_sp.loss), float(stats_o.loss),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats_sp.step_losses),
+                               np.asarray(stats_o.step_losses),
+                               rtol=1e-5, atol=1e-6)
+    _tree_allclose(agg_sp.params, params_o, rtol=1e-4, atol=1e-6)
+
+
+def test_supervised_spmd_stage3_and_stage2_ppo_end_to_end(mesh):
+    """Policy stages in spmd mode. Stage 3: the policy-driven rollout runs
+    per shard and the aggregator updates (PPO is only SAMPLED from,
+    train_RLMIL.py stage semantics — its params must not move). Stage 2:
+    frozen aggregator, the reassembled global rollout feeds the
+    (global-view) PPO update — PPO moves, the aggregator doesn't."""
+    bank, labels = _tiny_bank(seed=9)
+    model, feature_num = build_aggregator("ABMIL", dim_in=DIM,
+                                          arch_setting={"L": 32, "D": 8})
+    fc = FullLayer(feature_num=feature_num, hidden_state_dim=32, class_num=2)
+    bank_arrays = BankArrays.from_bank(bank)
+    ids = jnp.arange(BATCH, dtype=jnp.int32)
+    lab = jnp.asarray(labels, jnp.int32)
+    rng = jax.random.PRNGKey(0)
+
+    def build(stage):
+        ppo = PPO(state_dim=feature_num, hidden_state_dim=32, action_size=K,
+                  lr=1e-4, K_epochs=1)
+        cfg = RolloutConfig(arch="ABMIL", T=T, feat_size=FEAT_SIZE,
+                            num_clusters=K, max_patches=bank.max_patches,
+                            train_stage=stage, num_classes=2)
+        engine = SupervisedEngine(
+            cfg, model, fc, ppo=ppo,
+            tx=optax.adam(1e-3) if stage != 2 else None, mesh=mesh)
+        params = engine.init_params(
+            rng, jnp.zeros((BATCH, FEAT_SIZE, DIM), jnp.float32),
+            jnp.zeros((BATCH,), jnp.int32))
+        ppo_state = ppo.init(rng, jnp.zeros((BATCH, feature_num)))
+        return engine, engine.init_state(params), ppo_state
+
+    def leaves_moved(before, after):
+        return any(
+            not np.allclose(a, b)
+            for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
+        )
+
+    # ---- stage 3: aggregator trains, PPO frozen -------------------------
+    engine3, agg, ppo_state = build(3)
+    p_before = jax.tree.map(np.asarray, agg.params)
+    ppo_before = jax.tree.map(np.asarray, ppo_state.params)
+    agg, ppo_state, stats = engine3.train_step(
+        agg, ppo_state, bank_arrays, ids, lab, jax.random.PRNGKey(5))
+    assert np.isfinite(float(stats.loss))
+    assert np.isfinite(np.asarray(stats.step_losses)).all()
+    assert stats.logits.shape == (BATCH, 2)
+    assert leaves_moved(p_before, agg.params), "aggregator did not update"
+    assert not leaves_moved(ppo_before, ppo_state.params), \
+        "PPO must not update in stage 3"
+
+    # eval path through the same shard_map wrapper
+    ev = engine3.eval_step(agg, ppo_state, bank_arrays, ids, lab,
+                           jax.random.PRNGKey(6))
+    assert np.isfinite(float(ev.loss)) and ev.logits.shape == (BATCH, 2)
+
+    # ---- stage 2: PPO trains from the reassembled rollout ---------------
+    engine2, agg2, ppo_state2 = build(2)
+    p_before2 = jax.tree.map(np.asarray, agg2.params)
+    ppo_before2 = jax.tree.map(np.asarray, ppo_state2.params)
+    agg2, ppo_state2, stats2 = engine2.train_step(
+        agg2, ppo_state2, bank_arrays, ids, lab, jax.random.PRNGKey(7))
+    assert np.isfinite(float(stats2.loss))
+    assert not leaves_moved(p_before2, agg2.params), \
+        "stage 2 must not touch the aggregator"
+    assert leaves_moved(ppo_before2, ppo_state2.params), \
+        "PPO params did not update from the reassembled rollout"
+
+
+def test_spmd_engine_runs_pallas_kernels_per_shard(mesh, monkeypatch):
+    """Integration: the spmd supervised engine with the Pallas selection +
+    attention kernels forced (interpret mode) produces the same losses as
+    the same engine on the XLA routes — the kernels execute inside the
+    per-shard program, which is the scaling claim of this mode."""
+    from jax.experimental import pallas as pl
+
+    import murcl_tpu.engine.supervised as sup
+    import murcl_tpu.ops.attention_pallas as gap
+    import murcl_tpu.ops.compact_pallas as cp
+    from murcl_tpu.models import ABMIL
+
+    orig = pl.pallas_call
+    for mod in (gap, cp):
+        monkeypatch.setattr(
+            mod.pl, "pallas_call",
+            lambda *a, _orig=orig, **k: _orig(*a, **{**k, "interpret": True}),
+        )
+    monkeypatch.setattr(sup, "_use_compact", lambda cfg, bank: True)
+
+    bank, labels = _tiny_bank(seed=10)
+    cfg = RolloutConfig(arch="ABMIL", T=T, feat_size=FEAT_SIZE, num_clusters=K,
+                        max_patches=bank.max_patches, train_stage=1,
+                        num_classes=2)
+    fcn = 32
+    bank_arrays = BankArrays.from_bank(bank)
+    ids = jnp.arange(BATCH, dtype=jnp.int32)
+    lab = jnp.asarray(labels, jnp.int32)
+    step_rng = jax.random.PRNGKey(13)
+
+    results = {}
+    for impl in ("pallas", "xla"):
+        model = ABMIL(dim_in=DIM, L=fcn, D=8, attn_impl=impl)
+        fc = FullLayer(feature_num=fcn, hidden_state_dim=32, class_num=2)
+        engine = SupervisedEngine(cfg, model, fc, tx=optax.adam(1e-3),
+                                  mesh=mesh)
+        params = engine.init_params(
+            jax.random.PRNGKey(0),
+            jnp.zeros((BATCH, FEAT_SIZE, DIM), jnp.float32),
+            jnp.zeros((BATCH,), jnp.int32))
+        agg = engine.init_state(params)
+        agg, _, stats = engine.train_step(
+            agg, None, bank_arrays, ids, lab, step_rng)
+        results[impl] = (stats, agg.params)
+
+    np.testing.assert_allclose(float(results["pallas"][0].loss),
+                               float(results["xla"][0].loss),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(results["pallas"][0].logits),
+                               np.asarray(results["xla"][0].logits),
+                               rtol=1e-4, atol=1e-4)
+    _tree_allclose(results["pallas"][1], results["xla"][1],
+                   rtol=1e-4, atol=1e-5)
