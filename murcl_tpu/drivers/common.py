@@ -80,6 +80,34 @@ def epoch_batches(
         yield np.concatenate([tail, pad]).astype(np.int32), valid
 
 
+def dp_mesh(args):
+    """Build the SPMD data mesh from ``--dp_devices`` (0/1 = off).
+
+    Returns ``None`` (global-view jit, the single-chip default) or a
+    ``Mesh((n,), ('data',))`` to pass as the engines' ``mesh=``, which
+    turns the train/eval step into a per-shard shard_map program — the
+    dp-scaling route for the Pallas kernels (the reference's only
+    multi-device construct is ``torch.nn.DataParallel``,
+    ``train_MuRCL.py:145`` / ``train_RLMIL.py:238``; PARITY.md §spmd).
+    """
+    n = int(getattr(args, "dp_devices", 0) or 0)
+    if n <= 1:
+        return None
+    import jax
+
+    from murcl_tpu.parallel import data_mesh
+
+    avail = len(jax.devices())
+    if avail < n:
+        raise ValueError(
+            f"--dp_devices {n} but only {avail} device(s) visible")
+    if args.batch_size % n:
+        raise ValueError(
+            f"--batch_size {args.batch_size} must be divisible by "
+            f"--dp_devices {n} (the batch shards over the data mesh)")
+    return data_mesh(n)
+
+
 def make_tb_writer(save_dir, enabled: bool):
     """TensorBoard writer parity (``--use_tensorboard``); gated import."""
     if not enabled:

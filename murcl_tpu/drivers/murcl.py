@@ -29,7 +29,13 @@ from murcl_tpu.engine import (
     transfer_params,
 )
 from murcl_tpu.engine.optim import lr_schedule_factory, make_optimizer, set_learning_rates
-from murcl_tpu.drivers.common import ProfilerHook, epoch_batches, make_tb_writer, murcl_save_dir
+from murcl_tpu.drivers.common import (
+    ProfilerHook,
+    dp_mesh,
+    epoch_batches,
+    make_tb_writer,
+    murcl_save_dir,
+)
 from murcl_tpu.models import FullLayer, PPO, build_aggregator
 from murcl_tpu.utils.general import (
     AverageMeter,
@@ -128,7 +134,8 @@ def run(args) -> dict:
         stage1_layout=getattr(args, "stage1_layout", "batched"),
         select_impl=getattr(args, "select_impl", "auto"),
     )
-    engine = ContrastiveEngine(cfg, model, fc, ppo=ppo, tx=tx)
+    engine = ContrastiveEngine(cfg, model, fc, ppo=ppo, tx=tx,
+                               mesh=dp_mesh(args))
 
     rng = jax.random.PRNGKey(args.seed)
     rng, r_init, r_ppo = jax.random.split(rng, 3)
@@ -274,7 +281,7 @@ def default_args(**overrides) -> SimpleNamespace:
         base_save_dir="./results", save_dir=None, save_dir_flag=None,
         exist_ok=False, device="0", seed=985, compute_dtype="float32", rng_impl="threefry", resume=False,
         remat="save_subbag", stage1_layout="batched", select_impl="auto",
-        attn_gate_math="exact",
+        attn_gate_math="exact", dp_devices=0,
         streaming=False,
     )
     for k, v in overrides.items():

@@ -41,7 +41,14 @@ from murcl_tpu.engine.optim import (
     make_optimizer,
     set_learning_rates,
 )
-from murcl_tpu.drivers.common import EpochOutputs, ProfilerHook, epoch_batches, make_tb_writer, rlmil_save_dir
+from murcl_tpu.drivers.common import (
+    EpochOutputs,
+    ProfilerHook,
+    dp_mesh,
+    epoch_batches,
+    make_tb_writer,
+    rlmil_save_dir,
+)
 from murcl_tpu.models import FullLayer, PPO, build_aggregator
 from murcl_tpu.ops.metrics import get_metrics, get_score
 from murcl_tpu.utils.general import (
@@ -167,7 +174,8 @@ def run(args) -> dict:
         stage1_layout=getattr(args, "stage1_layout", "batched"),
         select_impl=getattr(args, "select_impl", "auto"),
     )
-    engine = SupervisedEngine(cfg, model, fc, ppo=ppo, tx=tx)
+    engine = SupervisedEngine(cfg, model, fc, ppo=ppo, tx=tx,
+                              mesh=dp_mesh(args))
 
     # ---- init + checkpoint surgery ---------------------------------------
     rng = jax.random.PRNGKey(args.seed)
@@ -252,7 +260,15 @@ def _evaluate(args, engine, agg_state, ppo_state, src, rng, collect_preds=False)
     """Whole split as one padded batch (``train_RLMIL.py:417-424``)."""
     n = src.num_slides
     ids = np.arange(n, dtype=np.int32)
-    pad = (-n) % max(1, args.eval_batch_pad)
+    # in SPMD mode the padded eval batch must also divide over the data
+    # mesh (the invalid tail rows are masked out of every metric)
+    bucket = max(1, args.eval_batch_pad)
+    dp = int(getattr(args, "dp_devices", 0) or 0)
+    if dp > 1:
+        from math import gcd
+
+        bucket = bucket * dp // gcd(bucket, dp)
+    pad = (-n) % bucket
     if pad:
         ids = np.concatenate([ids, np.full(pad, n - 1, dtype=np.int32)])
     valid = np.arange(ids.shape[0]) < n
@@ -446,7 +462,7 @@ def default_args(**overrides) -> SimpleNamespace:
         train_model_prime=True, eval_batch_pad=1, streaming=False,
         compute_dtype="float32", profile=0, rng_impl="threefry", resume=False,
         remat="save_subbag", stage1_layout="batched", select_impl="auto",
-        attn_gate_math="exact",
+        attn_gate_math="exact", dp_devices=0,
     )
     for k, v in overrides.items():
         setattr(ns, k, v)

@@ -277,3 +277,24 @@ def test_torch_checkpoint_roundtrip_through_driver(synth, tmp_path):
     res = rlmil.run(_rlmil_args(synth, tmp_path, 1, "finetune",
                                 checkpoint_pretrained=str(torch_path)))
     assert Path(res["save_dir"], "final_res.csv").exists()
+
+
+def test_dp_devices_spmd_drivers(synth, tmp_path):
+    """--dp_devices runs both trainers through the SPMD shard_map engine
+    mode on the virtual CPU mesh: full artifact layout, finite losses, and
+    the eval batch padded up to a mesh-divisible size."""
+    out = murcl.run(_murcl_args(synth, tmp_path, 1, dp_devices=2))
+    assert Path(out["save_dir"], "model_best.pth.tar").exists()
+    assert np.isfinite(out["best_loss"])
+
+    res = rlmil.run(_rlmil_args(synth, tmp_path, 1, "scratch", dp_devices=2))
+    save_dir = Path(res["save_dir"])
+    for artifact in ("pred.csv", "final_res.csv", "losses.csv", "args.yaml"):
+        assert (save_dir / artifact).exists(), artifact
+    final = res["final"]
+    assert np.isfinite(final["loss"].iloc[0])
+
+    # misuse fails loudly before any compile
+    with pytest.raises(ValueError, match="divisible"):
+        murcl.run(_murcl_args(synth, tmp_path, 1, dp_devices=2, batch_size=3,
+                              exist_ok=True))

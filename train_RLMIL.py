@@ -109,6 +109,9 @@ def main():
     parser.add_argument('--select_impl', type=str, default='auto',
                         choices=['auto', 'xla'],
                         help='sub-bag materialization (auto uses the Pallas compaction kernel on TPU)')
+    parser.add_argument('--dp_devices', type=int, default=0,
+                        help='data-parallel SPMD mode: shard the batch over this many devices '
+                             '(per-shard shard_map programs scale the Pallas kernels; 0/1 = off)')
     parser.add_argument('--attn_gate_math', type=str, default='exact',
                         choices=['approx', 'exact'],
                         help='gate transcendentals in the TPU attention kernels (approx = relaxed-ulp rationals, PARITY.md)')
