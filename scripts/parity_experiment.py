@@ -151,10 +151,13 @@ def _chain_hparams():
     )
 
 
-def run_ours_chain(ds, root) -> pd.DataFrame:
+def run_ours_chain(ds, root, dp_devices: int = 0) -> pd.DataFrame:
     from murcl_tpu.drivers import murcl, rlmil
 
     hp = _chain_hparams()
+    if dp_devices:
+        # SPMD shard_map mode through the whole chain (PARITY.md §spmd)
+        hp["dp_devices"] = dp_devices
     out = None
     for stage in (1, 2, 3):
         args = murcl.default_args(
@@ -263,16 +266,32 @@ def main():
     parser.add_argument("--T", type=int, default=None)
     parser.add_argument("--device", type=str, default="cpu",
                         help="ours runs on this backend; the reference is CPU torch")
+    parser.add_argument("--spmd", type=int, default=0,
+                        help="with --full-chain: run OUR chain in SPMD "
+                             "shard_map mode (--dp_devices) over this many "
+                             "virtual CPU devices")
     cli = parser.parse_args()
+
+    if cli.spmd and cli.spmd > 1:
+        # must land before anything imports jax (nothing above does)
+        import os
+
+        assert "jax" not in sys.modules, "--spmd needs XLA_FLAGS set pre-jax"
+        flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+        flags.append(f"--xla_force_host_platform_device_count={cli.spmd}")
+        os.environ["XLA_FLAGS"] = " ".join(flags)
 
     root = tempfile.mkdtemp(prefix="parity_")
     if cli.full_chain:
         ds = make_dataset(root)
-        ours = run_ours_chain(ds, root)
+        ours = run_ours_chain(ds, root, dp_devices=cli.spmd)
         theirs = run_reference_chain(ds, root)
         desc = (f"FULL chain (pretrain 1-3 -> finetune 1-3, ABMIL): {SLIDES} "
                 f"synthetic slides, dim={DIM}, K={K}, feat_size={FEAT}, T={T}, "
-                f"{PRE_EPOCHS}+{FT_EPOCHS} epochs, ppo {PPO_EPOCHS}")
+                f"{PRE_EPOCHS}+{FT_EPOCHS} epochs, ppo {PPO_EPOCHS}"
+                + (f", ours in SPMD mode over {cli.spmd} devices"
+                   if cli.spmd and cli.spmd > 1 else ""))
     elif cli.real_data:
         assert cli.data_csv and cli.data_split_json, \
             "--real-data requires --data_csv and --data_split_json"
