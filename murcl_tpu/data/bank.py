@@ -45,6 +45,16 @@ def _patch_cluster_pos(
     for k, cluster in enumerate(cluster_lists):
         if cluster:
             idxs = np.asarray(cluster, dtype=np.int64)
+            if np.unique(idxs).size != idxs.size:
+                # same failure mode as the cross-cluster overlap below, but
+                # invisible to it (pos[idxs] is still -1 when the duplicate
+                # is inside ONE list): the last write wins and the cluster
+                # under-counts vs the scatter-max oracle
+                raise ValueError(
+                    f"cluster {k} lists the same patch more than once; "
+                    "sub-bag selection requires disjoint, duplicate-free "
+                    "clusters"
+                )
             if np.any(pos[idxs] >= 0):
                 # the inverse table stores ONE (cluster, pos) per patch; a
                 # patch in two clusters would silently under-select vs the

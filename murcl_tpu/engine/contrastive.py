@@ -155,8 +155,9 @@ class ContrastiveEngine:
     def _fused_trunk_mix(self, x_flat) -> bool:
         """True when the model forward takes CLAM's fused trunk+attention
         Pallas route (pallas impl, VMEM-resident bag), so bag-level mixup
-        can ride that kernel instead of a standalone pass. Mirrors
-        AttentionPool's resident heuristic (models/clam.py)."""
+        can ride that kernel instead of a standalone pass. Shares
+        AttentionPool's residency predicate (ops/attention_pallas.py) so the
+        prediction can never diverge from the pool's actual routing."""
         if self.cfg.arch != "CLAM_SB":
             return False
         impl = getattr(self.model, "attn_impl", "auto")
@@ -164,10 +165,14 @@ class ContrastiveEngine:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if impl != "pallas":
             return False
-        l1 = 512  # SIZE_DICT: both arch settings use l1 = 512
-        itemsize = jnp.dtype(self._cdtype).itemsize
-        return (self.cfg.feat_size * max(x_flat.shape[-1], l1) * itemsize
-                <= 6 * 1024 * 1024)
+        from murcl_tpu.models.clam import SIZE_DICT
+        from murcl_tpu.ops.attention_pallas import fused_trunk_resident
+
+        l1 = SIZE_DICT[getattr(self.model, "size_arg", "small")][0]
+        return fused_trunk_resident(
+            self.cfg.feat_size, x_flat.shape[-1], l1,
+            jnp.dtype(self._cdtype).itemsize, mixed=True,
+        )
 
     def _rollout(self, params, ppo_old_params, bank: BankArrays, slide_ids,
                  rng, train: bool):

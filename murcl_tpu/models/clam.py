@@ -104,8 +104,10 @@ class AttentionPool(nn.Module):
 
         from murcl_tpu.ops.attention_pallas import (
             fused_trunk_attention_pool,
+            fused_trunk_resident,
             gated_attention_pool,
         )
+        from murcl_tpu.ops.mixup import apply_mix
 
         f = trunk[0].shape[1] if trunk is not None else x.shape[-1]
         if self.init == "xavier":
@@ -142,8 +144,8 @@ class AttentionPool(nn.Module):
         if trunk is not None:
             wf, bf = trunk
             n = x.shape[1]
-            resident = (
-                n * max(x.shape[-1], f) * x.dtype.itemsize <= 6 * 1024 * 1024
+            resident = fused_trunk_resident(
+                n, x.shape[-1], f, x.dtype.itemsize, mixed=mix is not None
             )
             if impl == "pallas" and resident and not self.is_initializing():
                 # ONE kernel: (optional in-kernel mixup,) trunk matmul+relu
@@ -167,10 +169,7 @@ class AttentionPool(nn.Module):
             # mix (mixup_rows-identical numerics), trunk in XLA, then the
             # standard attention path below
             if mix is not None:
-                perm, lam = mix
-                lam32 = lam.reshape(-1, 1, 1).astype(jnp.float32)
-                x = (lam32.astype(x.dtype) * x
-                     + (1.0 - lam32).astype(x.dtype) * x[perm])
+                x = apply_mix(x, *mix)
             x = nn.relu(jnp.dot(x, wf.astype(x.dtype)) + bf.astype(x.dtype))
             if use_dropout:
                 x = nn.Dropout(self.dropout, deterministic=False)(x)
@@ -256,10 +255,9 @@ class CLAM_SB(nn.Module):
             # instance-eval gathers trunk rows of the (mixed) bag; mix
             # explicitly up front (contrastive pretraining — the only mix
             # user — never takes this branch)
-            perm, lam = mix
-            lam32 = lam.reshape(-1, 1, 1).astype(jnp.float32)
-            h = (lam32.astype(h.dtype) * h
-                 + (1.0 - lam32).astype(h.dtype) * h[perm])
+            from murcl_tpu.ops.mixup import apply_mix
+
+            h = apply_mix(h, *mix)
             mix = None
         if instance_eval:
             # the instance branch gathers trunk-output rows; keep the trunk

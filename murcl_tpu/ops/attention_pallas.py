@@ -447,6 +447,21 @@ def gated_attention_pool(x, wa, ba, wb, bb, wc, bc, mask=None,
 # ---------------------------------------------------------------------------
 # Fused trunk + attention kernel (CLAM hot path)
 # ---------------------------------------------------------------------------
+# VMEM residency budget for the fused kernel's per-bag block. Calibrated on
+# v5e (16 MB VMEM scoped budget): the bag block double-buffers through the
+# pipeline and the kernel's gate/trunk intermediates take the rest. With
+# in-kernel mixup a SECOND (1, N, Fin) partner-bag block streams in, so the
+# budget halves. ONE predicate shared by the pool (models/clam.py) and the
+# engine's mix-routing heuristic (engine/contrastive.py) so they can never
+# silently diverge.
+FUSED_RESIDENT_BUDGET = 6 * 1024 * 1024
+
+
+def fused_trunk_resident(n: int, fin: int, l1: int, itemsize: int,
+                         mixed: bool = False) -> bool:
+    """True when a (N, max(Fin, L1)) bag block fits the fused-kernel budget."""
+    budget = FUSED_RESIDENT_BUDGET // (2 if mixed else 1)
+    return n * max(fin, l1) * itemsize <= budget
 # CLAM's per-view-step compute is trunk -> gated attention -> pool
 # (reference ``clam.py:69-77,144,170``). Unfused, the trunk output
 # ``x = dropout(relu(h @ Wf + bf))`` — (B, N, 512), 134 MB bf16 at the
@@ -999,11 +1014,10 @@ def fused_trunk_attention_pool(h, wf, bf, wa, ba, wb, bb, wc, bc, mask=None,
     if mix is not None and (impl != "pallas" or input_grad):
         if input_grad and impl == "pallas":
             raise ValueError("mix requires input_grad=False")
-        # explicit mix, mixup_rows-identical numerics (1-lam in f32)
-        perm, lam = mix
-        lam32 = lam.reshape(-1, 1, 1).astype(jnp.float32)
-        h = (lam32.astype(h.dtype) * h
-             + (1.0 - lam32).astype(h.dtype) * h[perm])
+        # explicit mix, mixup_rows-identical numerics (shared helper)
+        from murcl_tpu.ops.mixup import apply_mix
+
+        h = apply_mix(h, *mix)
         mix = None
     if impl == "pallas":
         key = (gated, float(dropout), bool(input_grad), gate_math,

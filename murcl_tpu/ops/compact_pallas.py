@@ -49,17 +49,23 @@ def gather_compact_xla(bank_feats, row_offsets, ranks, feat_size: int):
     return jax.vmap(one)(row_offsets, ranks)
 
 
-def _make_kernel_resident(n_max: int, tile: int, feat_size: int, d: int):
+def _make_kernel_resident(n_max: int, tile: int, feat_size: int, d: int,
+                          slab: int = 0):
     """One bag per program, whole (n_max, d) window resident in VMEM.
 
     Faster than the tiled variant (one DMA per bag, no accumulator
     round-trips) but VMEM-bound: only chosen when the double-buffered
-    window fits the budget (see :func:`gather_compact`).
+    window fits the budget (see :func:`gather_compact`). ``slab != 0``
+    selects the banded one-hot contraction (:func:`_banded_slab`), which
+    trades the register accumulator for a VMEM scratch with dynamic
+    slab-accumulates — opt-in via ``band`` for measurement (the production
+    default keeps the full one-hot here; banding earns its keep in the
+    tiled variant, where FLOPs otherwise scale with Nmax).
     """
     n_tiles = n_max // tile
 
-    def kernel(offs8_ref, nump_ref, ranks_ref, feats_hbm, out_ref,
-               rows_buf, sems):
+    def dma_body(offs8_ref, feats_hbm, rows_buf, sems):
+        """Double-buffered whole-window DMA; returns this bag's buffer slot."""
         i = pl.program_id(0)
         nb = pl.num_programs(0)
         slot = jax.lax.rem(i, 2)
@@ -79,6 +85,11 @@ def _make_kernel_resident(n_max: int, tile: int, feat_size: int, d: int):
             dma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
         dma(i, slot).wait()
+        return slot
+
+    def kernel(offs8_ref, nump_ref, ranks_ref, feats_hbm, out_ref,
+               rows_buf, sems):
+        slot = dma_body(offs8_ref, feats_hbm, rows_buf, sems)
 
         acc = jnp.zeros((feat_size, d), jnp.float32)
         iota_f = jax.lax.broadcasted_iota(jnp.int32, (feat_size, tile), 0)
@@ -89,7 +100,36 @@ def _make_kernel_resident(n_max: int, tile: int, feat_size: int, d: int):
             acc = acc + jnp.dot(oh, rows_t, preferred_element_type=jnp.float32)
         out_ref[0] = acc.astype(out_ref.dtype)
 
-    return kernel
+    def kernel_banded(offs8_ref, nump_ref, ranks_ref, feats_hbm, out_ref,
+                      rows_buf, acc_ref, sems):
+        i = pl.program_id(0)
+        slot = dma_body(offs8_ref, feats_hbm, rows_buf, sems)
+
+        # banded path: slab-sized one-hot anchored at the running kept
+        # count (see _banded_slab); contributions outside [base, base+k_t)
+        # are exact zeros, so accumulation matches the full one-hot bitwise
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (slab, tile), 0)
+        nump = nump_ref[i]
+        base = jnp.int32(0)
+        for t in range(n_tiles):
+            ranks_t = ranks_ref[0, :, t * tile:(t + 1) * tile]  # (1, tile)
+            k_t = jnp.sum((ranks_t >= 0).astype(jnp.int32))
+
+            @pl.when(t * tile < nump)
+            def _(base=base, ranks_t=ranks_t, t=t):
+                base_al = jnp.minimum((base // 128) * 128,
+                                      jnp.int32(feat_size - slab))
+                start = pl.multiple_of(base_al, 128)
+                rows_t = rows_buf[slot, t * tile:(t + 1) * tile, :]
+                oh = (iota_s + base_al == ranks_t).astype(rows_t.dtype)
+                acc_ref[pl.ds(start, slab), :] += jnp.dot(
+                    oh, rows_t, preferred_element_type=jnp.float32)
+
+            base = base + k_t
+        out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+    return kernel_banded if slab else kernel
 
 
 def _banded_slab(tile: int, feat_size: int) -> int:
@@ -117,9 +157,9 @@ def _banded_slab(tile: int, feat_size: int) -> int:
     return 0
 
 
-def _make_kernel_tiled(n_max: int, tile: int, feat_size: int, d: int):
+def _make_kernel_tiled(n_max: int, tile: int, feat_size: int, d: int,
+                       slab: int = 0):
     n_tiles = n_max // tile
-    slab = _banded_slab(tile, feat_size)
 
     def kernel(offs8_ref, nump_ref, ranks_ref, feats_hbm, out_ref,
                rows_buf, acc_ref, base_ref, sems):
@@ -247,10 +287,11 @@ def mixup_rows(x, perm_abs, lam, interpret: bool = False):
     )(perm_abs, lam.reshape(b, 1, 1).astype(jnp.float32), x, x)
 
 
-@partial(jax.jit, static_argnames=("feat_size", "interpret", "variant"))
+@partial(jax.jit, static_argnames=("feat_size", "interpret", "variant",
+                                   "band"))
 def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
                    num_patches=None, interpret: bool = False,
-                   variant: str = "auto"):
+                   variant: str = "auto", band: str = "auto"):
     """Compact selected bank rows into ``(B, feat_size, D)`` sub-bags.
 
     ``bank_feats (P, D)`` (P over-allocated by Nmax rows), ``row_offsets
@@ -258,6 +299,13 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
     by the bank builders), ``ranks (B, Nmax)`` int32 with -1 for
     unselected. ``num_patches (B,)`` lets the kernel skip tiles past each
     slide's patch count; omitted it assumes every tile may be live.
+
+    ``band`` selects the banded one-hot contraction (:func:`_banded_slab`):
+    ``"auto"`` = banded in the tiled variant (FLOPs otherwise scale with
+    Nmax; measured +36% at TCGA scale), full one-hot in the resident
+    variant; ``"on"``/``"off"`` force it in whichever variant runs — a
+    static jit key, so measurement scripts get distinct compiled programs
+    instead of a silent trace-cache hit.
     """
     b, n_max = ranks.shape
     d = bank_feats.shape[1]
@@ -306,16 +354,30 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
         (lambda i, offs, nump: (i, 0, 0)) if resident
         else (lambda i, t, offs, nump: (i, 0, 0)),
         memory_space=pltpu.VMEM)
+    if band not in ("auto", "on", "off"):
+        raise ValueError(f"band must be 'auto', 'on' or 'off', got {band!r}")
+    slab = _banded_slab(tile, feat_size) if band != "off" else 0
+    if band == "on" and not slab:
+        raise ValueError(
+            f"band='on' needs a feat_size > tile+128 and divisible by 128 "
+            f"(got feat_size={feat_size}, tile={tile})"
+        )
     if resident:
+        # banded by default here too: round 3 first recorded this as a wash,
+        # but that measurement was a jit-cache artifact (the script timed
+        # the same program twice); measured properly (band is a static jit
+        # key) the banded resident kernel is 11.56 ms vs 18.89 full at the
+        # canonical shape (scripts/dbg_compact_banded.py, golden-exact)
         grid: tuple = (b,)
-        kernel = _make_kernel_resident(n_max, tile, feat_size, d)
+        kernel = _make_kernel_resident(n_max, tile, feat_size, d, slab=slab)
         scratch = [
             pltpu.VMEM((2, n_max, d), bank_feats.dtype),
+        ] + ([pltpu.VMEM((feat_size, d), jnp.float32)] if slab else []) + [
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         grid = (b, n_tiles)
-        kernel = _make_kernel_tiled(n_max, tile, feat_size, d)
+        kernel = _make_kernel_tiled(n_max, tile, feat_size, d, slab=slab)
         scratch = [
             pltpu.VMEM((2, tile, d), bank_feats.dtype),
             pltpu.VMEM((feat_size, d), jnp.float32),

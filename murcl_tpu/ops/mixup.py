@@ -27,6 +27,23 @@ def mixup_factors(rng, batch_size: int, alpha):
     return lam, perm
 
 
+def apply_mix(x, perm, lam):
+    """The Pallas kernels' mix expression, for fallback paths.
+
+    ``lam_i * x_i + (1 - lam_i) * x[perm[i]]`` with ``1 - lam`` computed in
+    f32 *before* the cast to ``x.dtype`` — bitwise-identical to the in-kernel
+    formula (``compact_pallas._mix_kernel``; Mosaic cannot legalize scalar
+    bf16 arithmetic, so the kernels must subtract in f32). Every non-kernel
+    site that stands in for a kernel route (the fused-trunk XLA fallback,
+    CLAM's instance-eval branch) must call this ONE helper so the documented
+    kernel/fallback parity stays structural. :func:`mixup` keeps the
+    reference's own expression (``1 - lam`` in the input dtype), which is
+    within one ulp for bf16 (PARITY.md mixup row).
+    """
+    lam32 = lam.reshape((-1,) + (1,) * (x.ndim - 1)).astype(jnp.float32)
+    return lam32.astype(x.dtype) * x + (1.0 - lam32).astype(x.dtype) * x[perm]
+
+
 @partial(jax.jit, static_argnames=())
 def mixup(rng, inputs, alpha):
     """Mix a batch of bags. Returns ``(mixed, lambda (B,1), perm (B,))``."""

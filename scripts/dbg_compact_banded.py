@@ -1,10 +1,15 @@
 #!/usr/bin/env python
-"""Time the banded vs full one-hot compaction kernel at the canonical shape.
+"""Time banded vs full one-hot compaction kernels at the canonical shape.
 
 The banded path anchors a (tile+128, tile) one-hot slab at the running
 kept-count (ranks are monotone in bank-row order), cutting the per-tile
-MXU contraction 2.7x. Timed as jitted on-device loops (CLAUDE.md); also
-cross-checks banded == full on hardware.
+MXU contraction 2.7x at feat=1024/tile=256. Variants are selected with
+``gather_compact(..., variant=..., band=...)`` — both are STATIC jit keys,
+so every line below is a distinct compiled program (the original version
+of this script monkeypatched ``_banded_slab`` under ``@jax.jit`` and timed
+the trace-cache hit of the first program twice; its recorded numbers were
+meaningless). Timed as jitted on-device loops (CLAUDE.md); banded outputs
+are cross-checked bitwise against the XLA golden on hardware.
 """
 
 import os
@@ -56,27 +61,22 @@ def main():
         float(f(ranks))
         return (time.perf_counter() - t0) / K * 1000
 
-    banded = lambda r: cp.gather_compact(bank, offs, r, FEAT, num_patches=nump,
-                                         variant="resident")
-    t_banded = timed(loop(banded))
-    print(f"banded resident: {t_banded:7.2f} ms")
-
-    # full one-hot: force slab=0 through the factory
-    orig = cp._banded_slab
-    cp._banded_slab = lambda tile, feat_size: 0
-    try:
-        full = lambda r: cp.gather_compact(bank, offs, r, FEAT,
-                                           num_patches=nump,
-                                           variant="resident")
-        t_full = timed(loop(full))
-    finally:
-        cp._banded_slab = orig
-    print(f"full resident:   {t_full:7.2f} ms")
-
-    # hardware numerics vs the XLA golden (jit-cache-independent)
-    got = np.asarray(banded(ranks)[:4])
     want = np.asarray(cp.gather_compact_xla(bank, offs[:4], ranks[:4], FEAT))
-    print("banded == XLA golden on hardware:", np.array_equal(got, want))
+    for variant, band in (("resident", "off"), ("resident", "on"),
+                          ("tiled", "on"), ("tiled", "off")):
+        fn = lambda r: cp.gather_compact(bank, offs, r, FEAT,
+                                         num_patches=nump,
+                                         variant=variant, band=band)
+        ms = timed(loop(fn))
+        note = ""
+        if band == "on":
+            # hardware numerics for the banded (dynamic slab-store) paths;
+            # band='off' residency is already smoke-covered (tpu_smoke.py)
+            got = np.asarray(fn(ranks)[:4])
+            ok = np.array_equal(got, want)
+            note = f"   golden-exact: {ok}"
+            assert ok, f"{variant}/{band} diverged from the XLA golden"
+        print(f"{variant:9s} band={band:3s}: {ms:7.2f} ms{note}")
 
 
 if __name__ == "__main__":

@@ -195,3 +195,37 @@ def test_banded_tiled_kernel_matches_golden_interpret():
                              num_patches=jnp.asarray(bank.num_patches)[ids],
                              interpret=True, variant="tiled")
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_band_flag_forces_variants_interpret():
+    """``band='on'/'off'`` force the banded / full one-hot contraction in
+    BOTH variants (static jit keys — each is a distinct program); all four
+    combinations match the golden bitwise."""
+    rng = np.random.default_rng(17)
+    feats, clusters, bank = _bank(rng, batch=5, min_n=40, max_n=700)
+    ids = jnp.asarray([2, 4, 0, 3, 1], jnp.int32)
+    actions = jnp.asarray(rng.random((5, K)), jnp.float32)
+    feat_size = 512
+    ranks, row_offs, _ = select_ranks(
+        ids, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
+        jnp.asarray(bank.cluster_sizes), actions,
+        jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
+        feat_size=feat_size,
+    )
+    bf = jnp.asarray(bank.feats, jnp.bfloat16)
+    nump = jnp.asarray(bank.num_patches)[ids]
+    want = gather_compact_xla(bf, row_offs, ranks, feat_size)
+    for variant in ("resident", "tiled"):
+        for band in ("on", "off"):
+            got = gather_compact(bf, row_offs, ranks, feat_size,
+                                 num_patches=nump, interpret=True,
+                                 variant=variant, band=band)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want),
+                err_msg=f"{variant}/band={band}")
+    with pytest.raises(ValueError, match="band"):
+        gather_compact(bf, row_offs, ranks, feat_size, interpret=True,
+                       band="bogus")
+    with pytest.raises(ValueError, match="feat_size"):
+        # feat_size too small for a slab -> band='on' must fail loudly
+        gather_compact(bf, row_offs, ranks, 128, interpret=True, band="on")
