@@ -288,10 +288,11 @@ def mixup_rows(x, perm_abs, lam, interpret: bool = False):
 
 
 @partial(jax.jit, static_argnames=("feat_size", "interpret", "variant",
-                                   "band"))
+                                   "band", "tile"))
 def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
                    num_patches=None, interpret: bool = False,
-                   variant: str = "auto", band: str = "auto"):
+                   variant: str = "auto", band: str = "auto",
+                   tile: int = 0):
     """Compact selected bank rows into ``(B, feat_size, D)`` sub-bags.
 
     ``bank_feats (P, D)`` (P over-allocated by Nmax rows), ``row_offsets
@@ -301,15 +302,26 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
     slide's patch count; omitted it assumes every tile may be live.
 
     ``band`` selects the banded one-hot contraction (:func:`_banded_slab`):
-    ``"auto"`` = banded in the tiled variant (FLOPs otherwise scale with
-    Nmax; measured +36% at TCGA scale), full one-hot in the resident
-    variant; ``"on"``/``"off"`` force it in whichever variant runs — a
-    static jit key, so measurement scripts get distinct compiled programs
-    instead of a silent trace-cache hit.
+    ``"auto"`` = banded in BOTH variants when feat_size allows (measured:
+    +39% resident kernel at the canonical shape, +36% whole-step at TCGA
+    scale); ``"on"``/``"off"`` force it — a static jit key, so measurement
+    scripts get distinct compiled programs instead of a silent trace-cache
+    hit. ``tile`` overrides the input-tile width (measurement/tuning;
+    0 = auto).
     """
     b, n_max = ranks.shape
     d = bank_feats.shape[1]
-    tile = 256 if n_max % 256 == 0 else 128
+    if tile:
+        # explicit override (measurement / tuning); must keep the DMA
+        # alignment proof (multiple of 8) and divide the window
+        if tile % 8 != 0:
+            raise ValueError(f"tile must be a multiple of 8, got {tile}")
+    else:
+        # default: 256 when the window allows — measured +9.6% whole-step
+        # over 128 in the tiled regime (fewer grid steps, bigger DMAs).
+        # tile=512 compiles but hits a TPU backend INTERNAL error at
+        # runtime (2026-08-17) — do not re-attempt via the override either.
+        tile = 256 if n_max % 256 == 0 else 128
     if n_max % tile != 0:
         # the grid walks n_max // tile full tiles; a ragged tail would be
         # silently dropped (wrong selections, no error). Bank builders pad
@@ -333,12 +345,6 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
         resident = window_bytes <= 5 * 1024 * 1024
     else:
         resident = variant == "resident"
-    # tile stays 256 when Nmax allows: at TCGA scale (Nmax ~10k) the tiled
-    # grid walks B * Nmax/tile steps, and tile=256 vs 128 is a measured
-    # +9.6% whole-step win (fewer grid steps + bigger DMAs beat the 1.5x
-    # banded-slab FLOPs; bank builders pad Nmax to 256 for this).
-    # tile=512 compiled but hit a TPU backend INTERNAL error at runtime
-    # (2026-08-17) — do not re-attempt without a toolchain change.
 
     in_specs = [
         # (B, 1, Nmax) so the block's last two dims equal the array's

@@ -62,11 +62,12 @@ def main():
         return (time.perf_counter() - t0) / K * 1000
 
     want = np.asarray(cp.gather_compact_xla(bank, offs[:4], ranks[:4], FEAT))
-    for variant, band in (("resident", "off"), ("resident", "on"),
-                          ("tiled", "on"), ("tiled", "off")):
+    for variant, band, tile in (("resident", "off", 0), ("resident", "on", 0),
+                                ("resident", "on", 128),
+                                ("tiled", "on", 0), ("tiled", "off", 0)):
         fn = lambda r: cp.gather_compact(bank, offs, r, FEAT,
-                                         num_patches=nump,
-                                         variant=variant, band=band)
+                                         num_patches=nump, variant=variant,
+                                         band=band, tile=tile)
         ms = timed(loop(fn))
         note = ""
         if band == "on":
@@ -76,7 +77,8 @@ def main():
             ok = np.array_equal(got, want)
             note = f"   golden-exact: {ok}"
             assert ok, f"{variant}/{band} diverged from the XLA golden"
-        print(f"{variant:9s} band={band:3s}: {ms:7.2f} ms{note}")
+        print(f"{variant:9s} band={band:3s} tile={tile or 'auto':>4}: "
+              f"{ms:7.2f} ms{note}")
 
 
 if __name__ == "__main__":
