@@ -46,7 +46,7 @@ def measure_ours() -> float:
     return N_PATCHES / dt
 
 
-def measure_chip_bound(k: int = 16) -> float:
+def measure_chip_bound(k: int = 16, encoder: str = "resnet18") -> float:
     """Encoder throughput with the batch already device-resident.
 
     The pipeline number above includes host->device copies through the
@@ -59,7 +59,7 @@ def measure_chip_bound(k: int = 16) -> float:
 
     from murcl_tpu.preprocess.extract import PatchEncoder
 
-    enc = PatchEncoder("resnet18", batch_size=BATCH, patch_size=PATCH,
+    enc = PatchEncoder(encoder, batch_size=BATCH, patch_size=PATCH,
                        dtype="bfloat16")
     rng = np.random.default_rng(0)
     batch = jnp.asarray(
@@ -137,6 +137,25 @@ def measure_reference(n: int = 16) -> float:
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--encoder", default="resnet18",
+                    choices=["resnet18", "resnet50", "vgg16"],
+                    help="which reference encoder to bench chip-bound "
+                         "(extract_features.py:15-33); non-default skips "
+                         "the pipeline + torch-reference measurements")
+    args = ap.parse_args()
+    if args.encoder != "resnet18":
+        chip = measure_chip_bound(encoder=args.encoder)
+        print(json.dumps({
+            "metric": "feature_extraction_patches_per_sec",
+            "value": round(chip, 1),
+            "unit": f"patches/sec chip-bound ({args.encoder} bf16, "
+                    f"256x256, batch={BATCH})",
+            "vs_baseline": None,
+        }))
+        return
     ours = measure_ours()
     chip = measure_chip_bound()
     print(f"pipeline (incl. H2D through tunnel): {ours:.1f} patches/sec; "

@@ -229,3 +229,32 @@ def test_band_flag_forces_variants_interpret():
     with pytest.raises(ValueError, match="feat_size"):
         # feat_size too small for a slab -> band='on' must fail loudly
         gather_compact(bf, row_offs, ranks, 128, interpret=True, band="on")
+
+
+def test_banded_resident_truncation_saturates_base():
+    """Heavy truncation: the selection union exceeds feat_size, so late
+    tiles' kept counts push the banded anchor past feat_size - slab — the
+    clamp (base_al = min(aligned base, feat_size - slab)) must keep the
+    slab in-bounds while truncated ranks (-1) contribute nothing."""
+    rng = np.random.default_rng(23)
+    # large, similar-size bags with feat_size well below the union size
+    feats, clusters, bank = _bank(rng, batch=4, min_n=600, max_n=700)
+    ids = jnp.asarray([3, 1, 0, 2], jnp.int32)
+    actions = jnp.asarray(rng.random((4, K)), jnp.float32)
+    feat_size = 512  # slab = tile + 128 = 384 at tile 256 (Nmax 768)
+    ranks, row_offs, _ = select_ranks(
+        ids, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
+        jnp.asarray(bank.cluster_sizes), actions,
+        jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
+        feat_size=feat_size,
+    )
+    # the scenario only bites when some bag truly truncates
+    assert int(jnp.max(jnp.sum(ranks >= 0, axis=1))) == feat_size
+    bf = jnp.asarray(bank.feats, jnp.bfloat16)
+    want = gather_compact_xla(bf, row_offs, ranks, feat_size)
+    for variant in ("resident", "tiled"):
+        got = gather_compact(bf, row_offs, ranks, feat_size,
+                             num_patches=jnp.asarray(bank.num_patches)[ids],
+                             interpret=True, variant=variant, band="on")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=variant)
