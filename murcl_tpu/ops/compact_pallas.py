@@ -158,47 +158,58 @@ def _banded_slab(tile: int, feat_size: int) -> int:
 
 
 def _make_kernel_tiled(n_max: int, tile: int, feat_size: int, d: int,
-                       slab: int = 0):
-    n_tiles = n_max // tile
+                       slab: int = 0, chunk_tiles: int = 1):
+    """Streaming compaction over ``grid = (B, n_chunks)``.
+
+    Each grid step DMAs a CHUNK of ``chunk_tiles * tile`` window rows
+    (double-buffered) and unrolls the per-tile one-hot contractions over
+    it. One tile per step (the original layout) is grid-step-OVERHEAD
+    bound: at TCGA scale the (bag, tile) grid walks ~40 steps/bag of
+    ~0.26 us of real work against ~1 us/step of fixed cost (measured —
+    the whole-kernel time sat ~4x above its DMA+FLOP floor). Multi-tile
+    chunks amortize that fixed cost while keeping VMEM at
+    O(chunk) << O(Nmax).
+    """
+    chunk = chunk_tiles * tile
+    n_chunks = -(-n_max // chunk)  # ceil: the last chunk may pass n_max
 
     def kernel(offs8_ref, nump_ref, ranks_ref, feats_hbm, out_ref,
                rows_buf, acc_ref, base_ref, sems):
         i = pl.program_id(0)
-        t = pl.program_id(1)
+        t = pl.program_id(1)  # chunk index
         nb = pl.num_programs(0)
-        li = i * n_tiles + t  # linearized (bag, tile) step
+        li = i * n_chunks + t  # linearized (bag, chunk) step
         slot = jax.lax.rem(li, 2)
 
-        # a (bag, tile) step is LIVE when its tile starts before the
-        # slide's patch count: later tiles hold only rank=-1 rows, so both
-        # their DMA and their matmul are skipped (real slides vary 10x in
-        # patch count; Nmax is the split's maximum). The prefetch site one
-        # step earlier recomputes the same predicate from the prefetched
-        # scalars, so DMA starts and waits always pair up.
-        def live(bag, tl):
-            return tl * tile < nump_ref[bag]
+        # a (bag, chunk) step is LIVE when its chunk starts before the
+        # slide's patch count: later chunks hold only rank=-1 rows, so
+        # both their DMA and their matmuls are skipped (real slides vary
+        # 10x in patch count; Nmax is the split's maximum). The prefetch
+        # site one step earlier recomputes the same predicate from the
+        # prefetched scalars, so DMA starts and waits always pair up.
+        def live(bag, ch):
+            return ch * chunk < nump_ref[bag]
 
         # offsets arrive divided by 8 and are rescaled here: the HBM source
         # is (8, 128)-tiled, and Mosaic must PROVE the slice start is
         # sublane-aligned — `x * 8` is provable, a raw runtime value is not
-        # (the bank aligns every slide offset to 8; data/bank.py). tile is
-        # a multiple of 8, so the added tile offset keeps the proof.
-        def dma(bag, tl, sl):
+        # (the bank aligns every slide offset to 8; data/bank.py). chunk is
+        # a multiple of 8, so the added chunk offset keeps the proof. The
+        # last chunk may read past the slide's window — safe: the bank is
+        # over-allocated by Nmax >= chunk rows past the last slide, and
+        # rows without a rank entry never enter a contraction.
+        def dma(bag, ch, sl):
             return pltpu.make_async_copy(
-                feats_hbm.at[pl.ds(offs8_ref[bag] * 8 + tl * tile, tile), :],
+                feats_hbm.at[pl.ds(offs8_ref[bag] * 8 + ch * chunk, chunk), :],
                 rows_buf.at[sl], sems.at[sl],
             )
 
-        # double-buffered per-tile DMA over the linearized grid: step li's
-        # tile was started at step li-1 (or right here at li == 0); start
-        # li+1's now. VMEM stays O(tile), independent of Nmax — buffering
-        # the whole window blows the 16 MB budget at real slide sizes.
         @pl.when((li == 0) & live(0, 0))
         def _():
             dma(0, 0, 0).start()
 
-        nxt_i = jax.lax.div(li + 1, n_tiles)
-        nxt_t = jax.lax.rem(li + 1, n_tiles)
+        nxt_i = jax.lax.div(li + 1, n_chunks)
+        nxt_t = jax.lax.rem(li + 1, n_chunks)
 
         @pl.when((nxt_i < nb) & live(nxt_i, nxt_t))
         def _():
@@ -212,32 +223,49 @@ def _make_kernel_tiled(n_max: int, tile: int, feat_size: int, d: int,
         @pl.when(live(i, t))
         def _():
             dma(i, t, slot).wait()
-            ranks_t = ranks_ref[0, :, pl.ds(t * tile, tile)]  # (1, tile)
-            if not slab:
-                iota_f = jax.lax.broadcasted_iota(jnp.int32,
-                                                  (feat_size, tile), 0)
-                oh = (iota_f == ranks_t).astype(rows_buf.dtype)  # (F, tile)
-                acc_ref[:] += jnp.dot(oh, rows_buf[slot],
-                                      preferred_element_type=jnp.float32)
-            else:
-                # banded slab anchored at the running kept count (see
-                # _banded_slab); base carries across the tile grid in SMEM.
-                # Contributions outside [base, base+k_t) are exact zeros,
-                # so accumulation matches the full one-hot bitwise.
-                base = base_ref[0, 0]
-                base_al = jnp.minimum((base // 128) * 128,
-                                      jnp.int32(feat_size - slab))
-                start = pl.multiple_of(base_al, 128)
-                iota_s = jax.lax.broadcasted_iota(jnp.int32, (slab, tile), 0)
-                oh = (iota_s + base_al == ranks_t).astype(rows_buf.dtype)
-                acc_ref[pl.ds(start, slab), :] += jnp.dot(
-                    oh, rows_buf[slot], preferred_element_type=jnp.float32)
-                base_ref[0, 0] = base + jnp.sum(
-                    (ranks_t >= 0).astype(jnp.int32))
+            nump = nump_ref[i]
+            for j in range(chunk_tiles):
+                # tile j of this chunk; window position is t*chunk + j*tile
+                tile_start = t * chunk + j * tile
 
-        @pl.when(t == n_tiles - 1)
+                @pl.when((tile_start < nump) & (tile_start < n_max))
+                def _(tile_start=tile_start, j=j):
+                    ranks_t = _ranks_slice(ranks_ref, tile_start)
+                    rows_t = rows_buf[slot, j * tile:(j + 1) * tile, :]
+                    if not slab:
+                        iota_f = jax.lax.broadcasted_iota(
+                            jnp.int32, (feat_size, tile), 0)
+                        oh = (iota_f == ranks_t).astype(rows_buf.dtype)
+                        acc_ref[:] += jnp.dot(
+                            oh, rows_t, preferred_element_type=jnp.float32)
+                    else:
+                        # banded slab anchored at the running kept count
+                        # (see _banded_slab); base carries across tiles and
+                        # chunks in SMEM. Contributions outside
+                        # [base, base+k_t) are exact zeros, so accumulation
+                        # matches the full one-hot bitwise.
+                        base = base_ref[0, 0]
+                        base_al = jnp.minimum((base // 128) * 128,
+                                              jnp.int32(feat_size - slab))
+                        start = pl.multiple_of(base_al, 128)
+                        iota_s = jax.lax.broadcasted_iota(
+                            jnp.int32, (slab, tile), 0)
+                        oh = (iota_s + base_al == ranks_t).astype(
+                            rows_buf.dtype)
+                        acc_ref[pl.ds(start, slab), :] += jnp.dot(
+                            oh, rows_t, preferred_element_type=jnp.float32)
+                        base_ref[0, 0] = base + jnp.sum(
+                            (ranks_t >= 0).astype(jnp.int32))
+
+        @pl.when(t == n_chunks - 1)
         def _():
             out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+    def _ranks_slice(ranks_ref, tile_start):
+        # tile_start is a multiple of tile but traced (t is a grid index);
+        # the last chunk's tiles can start past n_max only when the guard
+        # above already skipped them
+        return ranks_ref[0, :, pl.ds(tile_start, tile)]  # (1, tile)
 
     return kernel
 
@@ -288,11 +316,11 @@ def mixup_rows(x, perm_abs, lam, interpret: bool = False):
 
 
 @partial(jax.jit, static_argnames=("feat_size", "interpret", "variant",
-                                   "band", "tile"))
+                                   "band", "tile", "chunk_tiles"))
 def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
                    num_patches=None, interpret: bool = False,
                    variant: str = "auto", band: str = "auto",
-                   tile: int = 0):
+                   tile: int = 0, chunk_tiles: int = 0):
     """Compact selected bank rows into ``(B, feat_size, D)`` sub-bags.
 
     ``bank_feats (P, D)`` (P over-allocated by Nmax rows), ``row_offsets
@@ -334,15 +362,17 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
     if num_patches is None:
         num_patches = jnp.full((b,), n_max, jnp.int32)
 
-    # resident variant when the double-buffered window fits VMEM (faster:
-    # one DMA per bag, no accumulator round-trips); tiled otherwise —
-    # real slide sizes (Nmax 10k+) would need 20+ MB resident. The budget
-    # leaves room for the unrolled tile loop's live one-hot/partial-sum
-    # intermediates: a 7.3 MB f32 window compiled to a 24.4 MB scoped
-    # allocation and OOMed the 16 MB limit (measured; 4 MB bf16 fits)
-    window_bytes = 2 * n_max * d * bank_feats.dtype.itemsize
+    # the chunked tiled kernel is the production default at EVERY size
+    # (round 3, scripts/dbg_compact_banded.py): with multi-tile chunks it
+    # matches the resident variant's DMA granularity at small windows and
+    # beats it outright (10.42 vs 11.86 ms banded at the canonical shape)
+    # while keeping VMEM O(chunk), which real slide sizes (Nmax 10k+)
+    # require anyway. variant='resident' remains for measurement; its
+    # double-buffered whole-window scratch needs the window under ~5 MB
+    # (a 7.3 MB f32 window compiled to a 24.4 MB scoped allocation and
+    # OOMed the 16 MB VMEM limit — measured)
     if variant == "auto":
-        resident = window_bytes <= 5 * 1024 * 1024
+        resident = False
     else:
         resident = variant == "resident"
 
@@ -382,10 +412,20 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
-        grid = (b, n_tiles)
-        kernel = _make_kernel_tiled(n_max, tile, feat_size, d, slab=slab)
+        # multi-tile chunks amortize the ~1 us/grid-step fixed cost (the
+        # dominant tiled-kernel cost at one tile/step); ~4 MB of
+        # double-buffered window rows leaves headroom under the 16 MB VMEM
+        # budget next to the f32 accumulator
+        if not chunk_tiles:
+            chunk_rows = (4 * 1024 * 1024) // (
+                2 * d * bank_feats.dtype.itemsize)
+            chunk_tiles = max(1, min(n_tiles, chunk_rows // tile))
+        n_chunks = -(-n_tiles // chunk_tiles)
+        grid = (b, n_chunks)
+        kernel = _make_kernel_tiled(n_max, tile, feat_size, d, slab=slab,
+                                    chunk_tiles=chunk_tiles)
         scratch = [
-            pltpu.VMEM((2, tile, d), bank_feats.dtype),
+            pltpu.VMEM((2, chunk_tiles * tile, d), bank_feats.dtype),
             pltpu.VMEM((feat_size, d), jnp.float32),
             pltpu.SMEM((1, 1), jnp.int32),  # banded running kept count
             pltpu.SemaphoreType.DMA((2,)),

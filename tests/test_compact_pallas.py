@@ -231,6 +231,39 @@ def test_band_flag_forces_variants_interpret():
         gather_compact(bf, row_offs, ranks, 128, interpret=True, band="on")
 
 
+def test_tiled_chunking_matches_golden_interpret():
+    """The chunked tiled kernel (multi-tile DMA + unrolled in-chunk
+    contractions) == the golden for every chunk width, including a ragged
+    final chunk (n_tiles not divisible by chunk_tiles) and chunks that
+    overshoot small bags (dead-tile guard inside a live chunk)."""
+    rng = np.random.default_rng(29)
+    # Nmax 768 -> 6 tiles of 128; chunk widths walk 1..6 incl. ragged 4, 5
+    feats, clusters, bank = _bank(rng, batch=6, min_n=30, max_n=700)
+    ids = jnp.asarray([5, 0, 3, 1, 4, 2], jnp.int32)
+    actions = jnp.asarray(rng.random((6, K)), jnp.float32)
+    feat_size = 512
+    ranks, row_offs, _ = select_ranks(
+        ids, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
+        jnp.asarray(bank.cluster_sizes), actions,
+        jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
+        feat_size=feat_size,
+    )
+    bf = jnp.asarray(bank.feats, jnp.bfloat16)
+    nump = jnp.asarray(bank.num_patches)[ids]
+    want = gather_compact_xla(bf, row_offs, ranks, feat_size)
+    n_tiles = bank.max_patches // 128
+    assert n_tiles >= 4
+    for chunk_tiles in range(1, n_tiles + 1):
+        for band in ("on", "off"):
+            got = gather_compact(bf, row_offs, ranks, feat_size,
+                                 num_patches=nump, interpret=True,
+                                 variant="tiled", band=band, tile=128,
+                                 chunk_tiles=chunk_tiles)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want),
+                err_msg=f"chunk_tiles={chunk_tiles} band={band}")
+
+
 def test_banded_resident_truncation_saturates_base():
     """Heavy truncation: the selection union exceeds feat_size, so late
     tiles' kept counts push the banded anchor past feat_size - slab — the
