@@ -139,7 +139,12 @@ def main():
         return call
 
     # ---------------- backward kernels ----------------
-    def make_bwd(lean):
+    # variant: 'full' (production pre-lean), 'lean' (folded {0,scale}
+    # masks), 'lean2' (lean + f32 dx assembly: the three bf16 casts on the
+    # dx chain become one; costs ~2 MB more live VMEM — affordable only
+    # because lean freed relu_pos/keep_x/x-f32)
+    def make_bwd(variant):
+        lean = variant in ("lean", "lean2")
         def kernel(h_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
                    wc_ref, mask_ref, seed_ref, p_ref, gm_ref, gp_ref, gs_ref,
                    dwf_ref, dbf_ref, dwa_ref, dba_ref, dwb_ref, dbb_ref,
@@ -228,18 +233,28 @@ def main():
                                   preferred_element_type=jnp.float32)
             dba_ref[0] += jnp.sum(dza.astype(jnp.float32), axis=0)
 
-            dx = (
-                (p.reshape(-1, 1) * gm.reshape(1, -1)).astype(h.dtype)
-                + jnp.dot(dza.astype(xc.dtype), wa_ref[:].T.astype(xc.dtype),
-                          preferred_element_type=jnp.float32).astype(h.dtype)
-            )
-            dx = dx + jnp.dot(dzb.astype(xc.dtype), wb_ref[:].T.astype(xc.dtype),
-                              preferred_element_type=jnp.float32).astype(h.dtype)
-            if lean:
-                dz = dx * mzx
+            if variant == "lean2":
+                dx32 = (
+                    p.reshape(-1, 1) * gm.reshape(1, -1)
+                    + jnp.dot(dza, wa_ref[:].T.astype(xc.dtype),
+                              preferred_element_type=jnp.float32)
+                )
+                dx32 = dx32 + jnp.dot(dzb, wb_ref[:].T.astype(xc.dtype),
+                                      preferred_element_type=jnp.float32)
+                dz = dx32.astype(h.dtype) * mzx
             else:
-                dx = dx * keep_x * scale_c
-                dz = dx * relu_pos
+                dx = (
+                    (p.reshape(-1, 1) * gm.reshape(1, -1)).astype(h.dtype)
+                    + jnp.dot(dza.astype(xc.dtype), wa_ref[:].T.astype(xc.dtype),
+                              preferred_element_type=jnp.float32).astype(h.dtype)
+                )
+                dx = dx + jnp.dot(dzb.astype(xc.dtype), wb_ref[:].T.astype(xc.dtype),
+                                  preferred_element_type=jnp.float32).astype(h.dtype)
+                if lean:
+                    dz = dx * mzx
+                else:
+                    dx = dx * keep_x * scale_c
+                    dz = dx * relu_pos
             dwf_ref[:] += jnp.dot(h.T, dz, preferred_element_type=jnp.float32)
             dbf_ref[0] += jnp.sum(dz.astype(jnp.float32), axis=0)
 
@@ -326,27 +341,42 @@ def main():
 
     fwd_full = run_fwd(make_fwd(False))
     fwd_lean = run_fwd(make_fwd(True))
-    bwd_full = run_bwd(make_bwd(False))
-    bwd_lean = run_bwd(make_bwd(True))
+    bwd_full = run_bwd(make_bwd("full"))
+    bwd_lean = run_bwd(make_bwd("lean"))
+    bwd_lean2 = run_bwd(make_bwd("lean2"))
 
     # numerics first (the compiled programs are then reused by the timers)
     of = jax.jit(fwd_full)(*fargs)
     ol = jax.jit(fwd_lean)(*fargs)
     print("fwd lean-vs-full max|diff| (expect 0):",
-          [float(jnp.max(jnp.abs(x - y))) for x, y in zip(of, ol)])
+          [float(jnp.max(jnp.abs(x - y))) for x, y in zip(of, ol)],
+          flush=True)
     obf = jax.jit(bwd_full)(*bargs)
-    obl = jax.jit(bwd_lean)(*bargs)
     names = ["dwf", "dbf", "dwa", "dba", "dwb", "dbb", "dwc", "dbc"]
-    print("bwd lean-vs-full rel diff (expect ~1e-3 from xc remat ulp):")
-    for nm, x, y in zip(names, obf, obl):
-        denom = float(jnp.max(jnp.abs(x))) or 1.0
-        print(f"  {nm}: {float(jnp.max(jnp.abs(x - y))) / denom:.3e}")
+    for tag, call in [("lean", bwd_lean), ("lean2", bwd_lean2)]:
+        try:
+            ob = jax.jit(call)(*bargs)
+        except Exception as e:  # VMEM overflow etc — report, keep going
+            print(f"bwd {tag} FAILED: {type(e).__name__}: {e}", flush=True)
+            continue
+        print(f"bwd {tag}-vs-full rel diff (expect ~1e-3 from xc remat ulp):")
+        for nm, x, y in zip(names, obf, ob):
+            denom = float(jnp.max(jnp.abs(x))) or 1.0
+            print(f"  {nm}: {float(jnp.max(jnp.abs(x - y))) / denom:.3e}")
 
-    print(f"\ntimings, ({B}, {N}, {FIN}) bf16, {K} iters/program")
-    print(f"  fwd full: {timed(fwd_full, fargs):7.2f} ms")
-    print(f"  fwd lean: {timed(fwd_lean, fargs):7.2f} ms")
-    print(f"  bwd full: {timed(bwd_full, bargs, feed=11):7.2f} ms")
-    print(f"  bwd lean: {timed(bwd_lean, bargs, feed=11):7.2f} ms")
+    print(f"\ntimings, ({B}, {N}, {FIN}) bf16, {K} iters/program", flush=True)
+    for tag, call, args, feed in [
+        ("fwd full ", fwd_full, fargs, 0),
+        ("fwd lean ", fwd_lean, fargs, 0),
+        ("bwd full ", bwd_full, bargs, 11),
+        ("bwd lean ", bwd_lean, bargs, 11),
+        ("bwd lean2", bwd_lean2, bargs, 11),
+    ]:
+        try:
+            print(f"  {tag}: {timed(call, args, feed=feed):7.2f} ms",
+                  flush=True)
+        except Exception as e:
+            print(f"  {tag}: FAILED {type(e).__name__}", flush=True)
 
 
 if __name__ == "__main__":

@@ -451,3 +451,33 @@ def test_fused_trunk_mix_xla_path_matches(trunk_inputs, rng):
         gated=True, mix=(perm, lam))
     for w, g in zip(want, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)
+
+
+def test_lean_mask_fold_is_value_identical():
+    """The {0, scale} folded masks are value-identical to the unfolded
+    max/cast/keep/scale chains the kernels used before (the lean
+    formulation the production kernels now compute — see
+    ``_scaled_keep_masks_trunk``). Pure-jnp property check; the PRNG
+    stream itself is pinned by the TPU-only determinism tests."""
+    rng = np.random.default_rng(11)
+    z = jnp.asarray(rng.normal(size=(2048,)) * 2, jnp.float32)
+    bits = jnp.asarray(rng.integers(0, 2**32, size=2048, dtype=np.uint32))
+    thresh = jnp.uint32(int(0.25 * 2**32))
+    for dt in (jnp.bfloat16, jnp.float32):
+        scale_c = jnp.asarray(1.0 / 0.75, jnp.float32).astype(dt)
+        zero = jnp.asarray(0.0, dt)
+        keep01 = (bits >= thresh).astype(dt)
+        kx = jnp.where(bits >= thresh, scale_c, zero)
+        # trunk chain: relu + keep + scale vs one folded mask
+        unfolded = jnp.maximum(z, 0.0).astype(dt) * keep01 * scale_c
+        folded = z.astype(dt) * jnp.where(z > 0, kx, zero)
+        assert bool(jnp.all(unfolded == folded)), dt
+        # gate chain: v * keep * scale vs v * kmask
+        v = jnp.asarray(rng.normal(size=(2048,)), jnp.float32).astype(dt)
+        assert bool(jnp.all(v * keep01 * scale_c == v * kx)), dt
+        # f32 where-formulation of the plain kernels vs folded
+        if dt == jnp.float32:
+            keep_bool = bits >= thresh
+            scale = 1.0 / 0.75
+            assert bool(jnp.all(jnp.where(keep_bool, v * scale, 0.0)
+                                == v * kx))
