@@ -147,6 +147,29 @@ def _dropout_masks(seed, rate: float, shape, gated: bool):
     return keep_a, keep_b, scale
 
 
+def _scaled_keep_masks(seed, rate: float, shape, gated: bool,
+                       dtype=jnp.float32):
+    """{0, scale} gate keep-masks — lean formulation of ``_dropout_masks``.
+
+    Identical PRNG stream; folds the 1/(1-rate) scale into the mask so
+    each use site is one multiply (``v * ka``) instead of the
+    ``where(keep, v*scale, 0)`` mult+select pair. Value-identical: kept
+    elements see the same f32-rounded scale factor either way.
+    """
+    pltpu.prng_seed(seed + pl.program_id(0))
+    thresh = jnp.uint32(min(2**32 - 1, int(rate * 2**32)))
+    scale_c = jnp.asarray(1.0 / (1.0 - rate), jnp.float32).astype(dtype)
+    zero = jnp.asarray(0.0, dtype)
+
+    def keep():
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return jnp.where(bits >= thresh, scale_c, zero)
+
+    ka = keep()
+    kb = keep() if gated else None
+    return ka, kb
+
+
 def _make_fwd_kernel(gated: bool, dropout: float, gate_math: str = "exact"):
     tanh_fn, sigmoid_fn = _gate_fns(gate_math)
 
@@ -163,12 +186,12 @@ def _make_fwd_kernel(gated: bool, dropout: float, gate_math: str = "exact"):
                         preferred_element_type=jnp.float32) + bb_ref[0]
             )
         if dropout > 0:
-            keep_a, keep_b, scale = _dropout_masks(
+            ka, kb = _scaled_keep_masks(
                 seed_ref[0, 0], dropout, a.shape, gated
             )
-            a = jnp.where(keep_a, a * scale, 0.0)
+            a = a * ka
             if gated:
-                g = jnp.where(keep_b, g * scale, 0.0)
+                g = g * kb
         if gated:
             a = a * g
         s = jnp.dot(a, wc_ref[:], preferred_element_type=jnp.float32)[:, 0] + bc_ref[0, 0]
@@ -254,14 +277,13 @@ def _make_bwd_kernel(gated: bool, dropout: float, gate_math: str = "exact"):
                         preferred_element_type=jnp.float32) + bb_ref[0]
             )
         if dropout > 0:
-            keep_a, keep_b, scale = _dropout_masks(
+            ka, kb = _scaled_keep_masks(
                 seed_ref[0, 0], dropout, a.shape, gated
             )
-            a_eff = jnp.where(keep_a, a * scale, 0.0)
-            g_eff = jnp.where(keep_b, g * scale, 0.0) if gated else None
+            a_eff = a * ka
+            g_eff = g * kb if gated else None
         else:
-            keep_a = keep_b = None
-            scale = 1.0
+            ka = kb = None
             a_eff = a
             g_eff = g if gated else None
         u = a_eff * g_eff if gated else a_eff
@@ -285,8 +307,8 @@ def _make_bwd_kernel(gated: bool, dropout: float, gate_math: str = "exact"):
             da_eff = du
             dg_eff = None
         if dropout > 0:
-            da = jnp.where(keep_a, da_eff * scale, 0.0)
-            dg = jnp.where(keep_b, dg_eff * scale, 0.0) if gated else None
+            da = da_eff * ka
+            dg = dg_eff * kb if gated else None
         else:
             da = da_eff
             dg = dg_eff
@@ -496,6 +518,35 @@ def _dropout_masks_trunk(seed, rate: float, shape_x, shape_g, gated: bool,
     return keep_x, keep_a, keep_b, scale
 
 
+def _scaled_keep_masks_trunk(seed, rate: float, shape_x, shape_g,
+                             gated: bool, dtype):
+    """{0, scale} keep masks — the lean formulation of the trunk dropout.
+
+    Same PRNG stream (seed offset, draw order, threshold compare) as
+    :func:`_dropout_masks_trunk`, but each mask carries the 1/(1-rate)
+    scale folded in, so every use site is ONE multiply instead of the
+    ``v * keep * scale`` pair. For kept elements ``v * kmask`` is
+    IEEE-identical to ``(v * 1) * scale_c`` (multiplying by exact 1.0 is
+    the identity), so swapping formulations changes no kept value; only
+    dropped elements can differ in the sign of their zero. Measured
+    (scripts/dbg_vpu_lean.py, v5e): the fused kernels are VPU op-count
+    bound, and this plus the relu-fold below is where the op volume was.
+    """
+    pltpu.prng_seed(seed + pl.program_id(0))
+    thresh = jnp.uint32(min(2**32 - 1, int(rate * 2**32)))
+    scale_c = jnp.asarray(1.0 / (1.0 - rate), jnp.float32).astype(dtype)
+    zero = jnp.asarray(0.0, dtype)
+
+    def keep(shape):
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return jnp.where(bits >= thresh, scale_c, zero)
+
+    kx = keep(shape_x)
+    ka = keep(shape_g)
+    kb = keep(shape_g) if gated else None
+    return kx, ka, kb, scale_c
+
+
 def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float,
                                  gate_math: str = "exact",
                                  mixed: bool = False):
@@ -516,11 +567,10 @@ def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float,
     def body(h_ref, mix, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
              wc_ref, bc_ref, mask_ref, seed_ref, m_ref, p_ref, s_ref):
         # bag-dtype discipline throughout (relu/dropout/gate products in
-        # h.dtype, masks as 0/1 values): halves the VPU traffic of the
-        # elementwise chains for bf16 bags AND matches the backward's
-        # recompute formulas exactly (the bwd kernel has always used this
-        # formulation for its 16 MB VMEM budget). For f32 bags all casts
-        # are no-ops and v*mask*scale is bitwise where(mask, v*scale, 0).
+        # h.dtype, masks as {0, scale} values): minimizes the VPU op
+        # volume of the elementwise chains (the kernels are VPU op-count
+        # bound — BASELINE.md round-3 attribution) AND matches the
+        # backward's recompute formulas bitwise.
         h = h_ref[0]  # (N, Fin)
         if mix is not None:
             # in-kernel mixup: partner bag block-gathered via the scalar-
@@ -535,16 +585,19 @@ def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float,
                  + (1.0 - lam32).astype(h.dtype) * hp_ref[0])
         z = jnp.dot(h, wf_ref[:].astype(h.dtype),
                     preferred_element_type=jnp.float32) + bf_ref[0]
-        x = jnp.maximum(z, 0.0).astype(h.dtype)
         d = wa_ref.shape[1]
         if dropout > 0:
-            keep_x, keep_a, keep_b, scale = _dropout_masks_trunk(
-                seed_ref[0, 0], dropout, x.shape, (x.shape[0], d), gated,
+            # lean masks: relu + keep + scale fold into one {0, scale}
+            # multiplier per tensor — value-identical to the unfolded
+            # max/cast/keep/scale chain (see _scaled_keep_masks_trunk)
+            kx, ka, kb, _ = _scaled_keep_masks_trunk(
+                seed_ref[0, 0], dropout, z.shape, (z.shape[0], d), gated,
                 dtype=h.dtype,
             )
-            scale_c = jnp.asarray(scale, jnp.float32).astype(h.dtype)
-            x = x * keep_x * scale_c
-        xc = x
+            mzx = jnp.where(z > 0, kx, jnp.asarray(0.0, h.dtype))
+            xc = z.astype(h.dtype) * mzx
+        else:
+            xc = jnp.maximum(z, 0.0).astype(h.dtype)
         a = tanh_fn(
             jnp.dot(xc, wa_ref[:].astype(xc.dtype),
                     preferred_element_type=jnp.float32) + ba_ref[0]
@@ -555,9 +608,9 @@ def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float,
                         preferred_element_type=jnp.float32) + bb_ref[0]
             ).astype(h.dtype)
         if dropout > 0:
-            a = a * keep_a * scale_c
+            a = a * ka
             if gated:
-                g = g * keep_b * scale_c
+                g = g * kb
         if gated:
             a = a * g
         s = jnp.dot(a, wc_ref[:].astype(a.dtype),
@@ -636,30 +689,33 @@ def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float,
 
         # recompute trunk + gates; the same seed regenerates the exact
         # masks. VMEM discipline (the f32/bool variants blow the 16 MB
-        # scoped budget at N=1024, Fin=L1=512 by ~1.2 MB): masks and the
-        # relu indicator are stored as exact 0/1 values in the bag dtype
-        # and applied multiplicatively — bitwise-identical to the
-        # forward's where(mask, v*scale, 0) for f32 v — and the dx chain
-        # runs in the bag dtype. With gate_math='approx' the recompute uses
-        # the same rational the forward used, so a/g (and hence the
-        # derivative formulas below) are self-consistent.
+        # scoped budget at N=1024, Fin=L1=512 by ~1.2 MB): masks are
+        # {0, scale} values in the bag dtype, applied multiplicatively,
+        # and the dx chain runs in the bag dtype. With gate_math='approx'
+        # the recompute uses the same rational the forward used, so a/g
+        # (and hence the derivative formulas below) are self-consistent.
         z = jnp.dot(h, wf_ref[:].astype(h.dtype),
                     preferred_element_type=jnp.float32) + bf_ref[0]
-        relu_pos = (z > 0).astype(h.dtype)  # 0/1 indicator
-        x = jnp.maximum(z, 0.0)
         if dropout > 0:
-            keep_x, keep_a, keep_b, scale = _dropout_masks_trunk(
-                seed_ref[0, 0], dropout, x.shape, (x.shape[0], d), gated,
+            # lean recompute (see _scaled_keep_masks_trunk): one {0, scale}
+            # mask folds relu+keep+scale, and xc = round(z) * scale_c is
+            # BITWISE the forward's value — the old f32 chain
+            # round(z * scale_f32) differed in the last bf16 ulp on ~14%
+            # of elements (remat drift, now gone)
+            kx, ka, kb, scale_c = _scaled_keep_masks_trunk(
+                seed_ref[0, 0], dropout, z.shape, (z.shape[0], d), gated,
                 dtype=h.dtype,
             )
-            x = x * keep_x * scale
+            mzx = jnp.where(z > 0, kx, jnp.asarray(0.0, h.dtype))
+            xc = z.astype(h.dtype) * mzx
         else:
-            keep_x = keep_a = keep_b = None
-            scale = 1.0
-        xc = x.astype(h.dtype)
+            kx = ka = kb = mzx = None
+            relu_pos = (z > 0).astype(h.dtype)  # 0/1 indicator
+            xc = jnp.maximum(z, 0.0).astype(h.dtype)
         # gate recompute in the bag dtype: with bf16 bags this halves ~8 MB
         # of (N, D)/(N, L1) intermediates — remat-in-bf16, standard TPU
-        # practice; which units were dropped stays exact (masks are 0/1)
+        # practice; which units were dropped stays exact (masks are 0/1
+        # up to the folded scale)
         a = tanh_fn(
             jnp.dot(xc, wa_ref[:].astype(xc.dtype),
                     preferred_element_type=jnp.float32) + ba_ref[0]
@@ -669,10 +725,9 @@ def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float,
                 jnp.dot(xc, wb_ref[:].astype(xc.dtype),
                         preferred_element_type=jnp.float32) + bb_ref[0]
             ).astype(h.dtype)
-        scale_c = jnp.asarray(scale, jnp.float32).astype(h.dtype)
         if dropout > 0:
-            a_eff = a * keep_a * scale_c
-            g_eff = g * keep_b * scale_c if gated else None
+            a_eff = a * ka
+            g_eff = g * kb if gated else None
         else:
             a_eff = a
             g_eff = g if gated else None
@@ -697,8 +752,8 @@ def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float,
             da_eff = du
             dg_eff = None
         if dropout > 0:
-            da = da_eff * keep_a * scale_c
-            dg = dg_eff * keep_b * scale_c if gated else None
+            da = da_eff * ka
+            dg = dg_eff * kb if gated else None
         else:
             da = da_eff
             dg = dg_eff
@@ -724,10 +779,8 @@ def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float,
             dx = dx + jnp.dot(dzb.astype(xc.dtype), wb_ref[:].T.astype(xc.dtype),
                               preferred_element_type=jnp.float32).astype(h.dtype)
 
-        # trunk backward: dropout -> relu -> matmul
-        if dropout > 0:
-            dx = dx * keep_x * jnp.asarray(scale, jnp.float32).astype(h.dtype)
-        dz = dx * relu_pos
+        # trunk backward: dropout -> relu -> matmul (one fused mask mult)
+        dz = dx * mzx if dropout > 0 else dx * relu_pos
         dwf_ref[:] += jnp.dot(h.T, dz, preferred_element_type=jnp.float32)
         dbf_ref[0] += jnp.sum(dz.astype(jnp.float32), axis=0)
         if need_dh:
