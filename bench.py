@@ -183,7 +183,22 @@ def measure_reference_baseline(steps: int = 1) -> float:
 
 
 def main():
-    ours = measure_ours()
+    try:
+        ours = measure_ours()
+    except BaseException as e:  # noqa: BLE001 — the driver contract is
+        # "exactly one JSON line on stdout" even when the backend is down;
+        # a red bench must stay distinguishable from a broken bench.
+        msg = f"{type(e).__name__}: {e}"
+        print(json.dumps({
+            "metric": "murcl_pretrain_steps_per_sec",
+            "value": None,
+            "unit": "steps/sec",
+            "vs_baseline": None,
+            "error": msg[:500],
+        }))
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        raise SystemExit(1)
 
     if BASELINE_FILE.exists():
         baseline = json.loads(BASELINE_FILE.read_text())["reference_steps_per_sec"]

@@ -158,12 +158,16 @@ def _scaled_keep_masks(seed, rate: float, shape, gated: bool,
     """
     pltpu.prng_seed(seed + pl.program_id(0))
     thresh = jnp.uint32(min(2**32 - 1, int(rate * 2**32)))
-    scale_c = jnp.asarray(1.0 / (1.0 - rate), jnp.float32).astype(dtype)
-    zero = jnp.asarray(0.0, dtype)
+    scale32 = jnp.float32(1.0 / (1.0 - rate))
+    zero32 = jnp.float32(0.0)
 
     def keep():
+        # select in the 32-bit domain, then cast — Mosaic cannot relayout
+        # a 32-bit-compare i1 mask for a sub-32-bit select (see
+        # _scaled_keep_masks_trunk)
         bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        return jnp.where(bits >= thresh, scale_c, zero)
+        k = jnp.where(bits >= thresh, scale32, zero32)
+        return k if dtype == jnp.float32 else k.astype(dtype)
 
     ka = keep()
     kb = keep() if gated else None
@@ -518,33 +522,42 @@ def _dropout_masks_trunk(seed, rate: float, shape_x, shape_g, gated: bool,
     return keep_x, keep_a, keep_b, scale
 
 
-def _scaled_keep_masks_trunk(seed, rate: float, shape_x, shape_g,
+def _scaled_keep_masks_trunk(seed, rate: float, z, shape_g,
                              gated: bool, dtype):
     """{0, scale} keep masks — the lean formulation of the trunk dropout.
 
     Same PRNG stream (seed offset, draw order, threshold compare) as
     :func:`_dropout_masks_trunk`, but each mask carries the 1/(1-rate)
     scale folded in, so every use site is ONE multiply instead of the
-    ``v * keep * scale`` pair. For kept elements ``v * kmask`` is
-    IEEE-identical to ``(v * 1) * scale_c`` (multiplying by exact 1.0 is
-    the identity), so swapping formulations changes no kept value; only
-    dropped elements can differ in the sign of their zero. Measured
-    (scripts/dbg_vpu_lean.py, v5e): the fused kernels are VPU op-count
-    bound, and this plus the relu-fold below is where the op volume was.
+    ``v * keep * scale`` pair, and the trunk mask additionally folds the
+    relu indicator (``z > 0``) so relu+keep+scale is one multiplier.
+
+    Layout discipline (Mosaic, measured on v5e): a select whose i1 mask
+    comes from a 32-bit compare but whose branches are bf16 needs an i1
+    relayout (8,128)->(16,128) that Mosaic refuses ("Invalid relayout:
+    non-singleton dimension replicated in destination"). So the compare,
+    the ``&``, and the select all stay in the 32-bit domain (uint32 bits,
+    f32 z, f32 {0, scale}) — one native-layout mask — followed by a
+    single cast to the bag dtype. Value-identical to the unfolded chain:
+    ``cast(scale_f32)`` is exactly the bf16 scale constant, kept elements
+    see ``v * scale_c`` either way, and only dropped elements can differ
+    in the sign of their zero.
     """
     pltpu.prng_seed(seed + pl.program_id(0))
     thresh = jnp.uint32(min(2**32 - 1, int(rate * 2**32)))
-    scale_c = jnp.asarray(1.0 / (1.0 - rate), jnp.float32).astype(dtype)
-    zero = jnp.asarray(0.0, dtype)
+    scale32 = jnp.float32(1.0 / (1.0 - rate))
+    zero32 = jnp.float32(0.0)
+
+    bits = pltpu.bitcast(pltpu.prng_random_bits(z.shape), jnp.uint32)
+    mzx = jnp.where((bits >= thresh) & (z > 0), scale32, zero32).astype(dtype)
 
     def keep(shape):
-        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        return jnp.where(bits >= thresh, scale_c, zero)
+        b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return jnp.where(b2 >= thresh, scale32, zero32).astype(dtype)
 
-    kx = keep(shape_x)
     ka = keep(shape_g)
     kb = keep(shape_g) if gated else None
-    return kx, ka, kb, scale_c
+    return mzx, ka, kb
 
 
 def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float,
@@ -590,11 +603,10 @@ def _make_fused_trunk_fwd_kernel(gated: bool, dropout: float,
             # lean masks: relu + keep + scale fold into one {0, scale}
             # multiplier per tensor — value-identical to the unfolded
             # max/cast/keep/scale chain (see _scaled_keep_masks_trunk)
-            kx, ka, kb, _ = _scaled_keep_masks_trunk(
-                seed_ref[0, 0], dropout, z.shape, (z.shape[0], d), gated,
+            mzx, ka, kb = _scaled_keep_masks_trunk(
+                seed_ref[0, 0], dropout, z, (z.shape[0], d), gated,
                 dtype=h.dtype,
             )
-            mzx = jnp.where(z > 0, kx, jnp.asarray(0.0, h.dtype))
             xc = z.astype(h.dtype) * mzx
         else:
             xc = jnp.maximum(z, 0.0).astype(h.dtype)
@@ -702,14 +714,13 @@ def _make_fused_trunk_bwd_kernel(gated: bool, dropout: float,
             # BITWISE the forward's value — the old f32 chain
             # round(z * scale_f32) differed in the last bf16 ulp on ~14%
             # of elements (remat drift, now gone)
-            kx, ka, kb, scale_c = _scaled_keep_masks_trunk(
-                seed_ref[0, 0], dropout, z.shape, (z.shape[0], d), gated,
+            mzx, ka, kb = _scaled_keep_masks_trunk(
+                seed_ref[0, 0], dropout, z, (z.shape[0], d), gated,
                 dtype=h.dtype,
             )
-            mzx = jnp.where(z > 0, kx, jnp.asarray(0.0, h.dtype))
             xc = z.astype(h.dtype) * mzx
         else:
-            kx = ka = kb = mzx = None
+            ka = kb = mzx = None
             relu_pos = (z > 0).astype(h.dtype)  # 0/1 indicator
             xc = jnp.maximum(z, 0.0).astype(h.dtype)
         # gate recompute in the bag dtype: with bf16 bags this halves ~8 MB

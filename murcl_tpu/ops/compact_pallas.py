@@ -152,7 +152,11 @@ def _banded_slab(tile: int, feat_size: int) -> int:
     full one-hot (cheap there anyway).
     """
     slab = tile + 128
-    if feat_size > slab and feat_size % 128 == 0:
+    # tile must itself be 128-divisible: otherwise feat_size - slab is not
+    # 128-aligned and the clamp ``min((base//128)*128, feat_size - slab)``
+    # can yield a base that pl.multiple_of(_, 128) falsely promises is
+    # aligned — a latent Mosaic miscompile (advisor r3)
+    if tile % 128 == 0 and feat_size > slab and feat_size % 128 == 0:
         return slab
     return 0
 
@@ -420,6 +424,11 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
             chunk_rows = (4 * 1024 * 1024) // (
                 2 * d * bank_feats.dtype.itemsize)
             chunk_tiles = max(1, min(n_tiles, chunk_rows // tile))
+        else:
+            # an unclamped override would DMA chunk_tiles*tile rows per
+            # grid step — past the bank's Nmax over-allocation for the
+            # last slide, an out-of-bounds HBM read (advisor r3)
+            chunk_tiles = min(chunk_tiles, n_tiles)
         n_chunks = -(-n_tiles // chunk_tiles)
         grid = (b, n_chunks)
         kernel = _make_kernel_tiled(n_max, tile, feat_size, d, slab=slab,
