@@ -49,7 +49,9 @@ def main():
 
     assert jax.default_backend() == "tpu"
 
-    thresh = jnp.uint32(min(2**32 - 1, int(DROP * 2**32)))
+    # python int at closure scope; materialized INSIDE each kernel body
+    # (a captured device array trips pallas 'captures constants')
+    thresh_i = min(2**32 - 1, int(DROP * 2**32))
     scale = 1.0 / (1.0 - DROP)
 
     def draw_bits(seed, shape):
@@ -60,6 +62,7 @@ def main():
         def kernel(h_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
                    wc_ref, bc_ref, mask_ref, seed_ref, m_ref, p_ref, s_ref):
             h = h_ref[0]
+            thresh = jnp.uint32(thresh_i)
             z = jnp.dot(h, wf_ref[:].astype(h.dtype),
                         preferred_element_type=jnp.float32) + bf_ref[0]
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
@@ -69,7 +72,12 @@ def main():
             scale_c = jnp.asarray(scale, jnp.float32).astype(h.dtype)
             zero = jnp.asarray(0.0, h.dtype)
             if lean:
-                mzx = jnp.where((z > 0) & (bits_x >= thresh), scale_c, zero)
+                # 32-bit-domain select + single cast: Mosaic refuses the
+                # i1 (8,128)->(16,128) relayout a bf16 select off a
+                # 32-bit compare needs (production formulation, round 4)
+                mzx = jnp.where((z > 0) & (bits_x >= thresh),
+                                jnp.float32(scale), jnp.float32(0.0)
+                                ).astype(h.dtype)
                 xc = z.astype(h.dtype) * mzx
             else:
                 keep_x = (bits_x >= thresh).astype(h.dtype)
@@ -84,8 +92,10 @@ def main():
                         preferred_element_type=jnp.float32) + bb_ref[0]
             ).astype(h.dtype)
             if lean:
-                ka = jnp.where(bits_a >= thresh, scale_c, zero)
-                kb = jnp.where(bits_b >= thresh, scale_c, zero)
+                ka = jnp.where(bits_a >= thresh, jnp.float32(scale),
+                               jnp.float32(0.0)).astype(h.dtype)
+                kb = jnp.where(bits_b >= thresh, jnp.float32(scale),
+                               jnp.float32(0.0)).astype(h.dtype)
                 a = a * ka
                 g = g * kb
             else:
@@ -163,6 +173,7 @@ def main():
                 dbc_ref[:] = jnp.zeros_like(dbc_ref)
 
             h = h_ref[0]
+            thresh = jnp.uint32(thresh_i)
             p = p_ref[0, 0]
             gm = gm_ref[0, 0]
             mask = mask_ref[0, 0]
@@ -176,10 +187,14 @@ def main():
             scale_c = jnp.asarray(scale, jnp.float32).astype(h.dtype)
             zero = jnp.asarray(0.0, h.dtype)
             if lean:
-                mzx = jnp.where((z > 0) & (bits_x >= thresh), scale_c, zero)
+                mzx = jnp.where((z > 0) & (bits_x >= thresh),
+                                jnp.float32(scale), jnp.float32(0.0)
+                                ).astype(h.dtype)
                 xc = z.astype(h.dtype) * mzx
-                ka = jnp.where(bits_a >= thresh, scale_c, zero)
-                kb = jnp.where(bits_b >= thresh, scale_c, zero)
+                ka = jnp.where(bits_a >= thresh, jnp.float32(scale),
+                               jnp.float32(0.0)).astype(h.dtype)
+                kb = jnp.where(bits_b >= thresh, jnp.float32(scale),
+                               jnp.float32(0.0)).astype(h.dtype)
             else:
                 relu_pos = (z > 0).astype(h.dtype)
                 keep_x = (bits_x >= thresh).astype(h.dtype)
@@ -351,7 +366,16 @@ def main():
     print("fwd lean-vs-full max|diff| (expect 0):",
           [float(jnp.max(jnp.abs(x - y))) for x, y in zip(of, ol)],
           flush=True)
-    obf = jax.jit(bwd_full)(*bargs)
+    # the 'full' (pre-lean) bwd reconstruction keeps f32 relu_pos/keep_x
+    # extras the production kernel never materialized — it can exceed the
+    # 16 MB scoped-VMEM budget (measured: 16.05M, +53K over). Numerics and
+    # timing then fall back to lean as the reference.
+    try:
+        obf = jax.jit(bwd_full)(*bargs)
+    except Exception as e:
+        print(f"bwd full FAILED ({type(e).__name__}) — comparing lean2 "
+              f"against lean instead", flush=True)
+        bwd_full, obf = None, jax.jit(bwd_lean)(*bargs)
     names = ["dwf", "dbf", "dwa", "dba", "dwb", "dbb", "dwc", "dbc"]
     for tag, call in [("lean", bwd_lean), ("lean2", bwd_lean2)]:
         try:
@@ -359,7 +383,7 @@ def main():
         except Exception as e:  # VMEM overflow etc — report, keep going
             print(f"bwd {tag} FAILED: {type(e).__name__}: {e}", flush=True)
             continue
-        print(f"bwd {tag}-vs-full rel diff (expect ~1e-3 from xc remat ulp):")
+        print(f"bwd {tag}-vs-reference rel diff (expect ~1e-3 from xc remat ulp):")
         for nm, x, y in zip(names, obf, ob):
             denom = float(jnp.max(jnp.abs(x))) or 1.0
             print(f"  {nm}: {float(jnp.max(jnp.abs(x - y))) / denom:.3e}")
@@ -372,6 +396,9 @@ def main():
         ("bwd lean ", bwd_lean, bargs, 11),
         ("bwd lean2", bwd_lean2, bargs, 11),
     ]:
+        if call is None:
+            print(f"  {tag}: SKIPPED (did not compile)", flush=True)
+            continue
         try:
             print(f"  {tag}: {timed(call, args, feed=feed):7.2f} ms",
                   flush=True)

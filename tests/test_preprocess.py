@@ -171,8 +171,128 @@ def test_read_patches_raw_mode(monkeypatch):
     assert resized.shape == (3, 32, 32, 3)
 
 
-def test_resnet_matches_torch_when_available():
-    pytest.importorskip("torchvision")
+def _torchvision_resnet18_state_dict(rng):
+    """A random state_dict in torchvision resnet18 layout (keys + shapes).
+
+    torchvision itself is absent here; the layout is the documented one
+    (``resnet18-f37072fd.pth``), which ``resnet_params_from_torch``
+    consumes and the torch oracle below executes.
+    """
+    import torch
+
+    sd = {}
+
+    def conv(name, cout, cin, k):
+        sd[name + ".weight"] = torch.tensor(
+            (rng.normal(size=(cout, cin, k, k)) * 0.05).astype(np.float32))
+
+    def bn(name, c):
+        sd[name + ".weight"] = torch.tensor(
+            (0.5 + rng.uniform(size=c)).astype(np.float32))
+        sd[name + ".bias"] = torch.tensor(
+            (rng.normal(size=c) * 0.1).astype(np.float32))
+        sd[name + ".running_mean"] = torch.tensor(
+            (rng.normal(size=c) * 0.1).astype(np.float32))
+        sd[name + ".running_var"] = torch.tensor(
+            (0.5 + rng.uniform(size=c)).astype(np.float32))
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    widths = [64, 128, 256, 512]
+    cin = 64
+    for i, n_blocks in enumerate([2, 2, 2, 2]):
+        w = widths[i]
+        for j in range(n_blocks):
+            t = f"layer{i + 1}.{j}"
+            conv(t + ".conv1", w, cin if j == 0 else w, 3)
+            bn(t + ".bn1", w)
+            conv(t + ".conv2", w, w, 3)
+            bn(t + ".bn2", w)
+            if j == 0 and i > 0:
+                conv(t + ".downsample.0", w, cin, 1)
+                bn(t + ".downsample.1", w)
+            cin = w
+    return sd
+
+
+def _torch_resnet18_forward(sd, x_nchw):
+    """Oracle: resnet18 feature forward in raw torch.nn.functional calls.
+
+    Written from the architecture definition (7x7/2 stem, 3x3/2 maxpool,
+    BasicBlock stages [2,2,2,2] with stride-2 + 1x1-downsample at each
+    stage transition, global avgpool) — independent of both torchvision
+    and the flax encoder under test.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    def bn(x, p):
+        return F.batch_norm(x, sd[p + ".running_mean"], sd[p + ".running_var"],
+                            sd[p + ".weight"], sd[p + ".bias"],
+                            training=False, eps=1e-5)
+
+    with torch.no_grad():
+        x = F.conv2d(x_nchw, sd["conv1.weight"], stride=2, padding=3)
+        x = F.relu(bn(x, "bn1"))
+        x = F.max_pool2d(x, 3, stride=2, padding=1)
+        for i, n_blocks in enumerate([2, 2, 2, 2]):
+            for j in range(n_blocks):
+                t = f"layer{i + 1}.{j}"
+                stride = 2 if (i > 0 and j == 0) else 1
+                idn = x
+                y = F.conv2d(x, sd[t + ".conv1.weight"], stride=stride, padding=1)
+                y = F.relu(bn(y, t + ".bn1"))
+                y = F.conv2d(y, sd[t + ".conv2.weight"], padding=1)
+                y = bn(y, t + ".bn2")
+                if t + ".downsample.0.weight" in sd:
+                    idn = F.conv2d(x, sd[t + ".downsample.0.weight"], stride=stride)
+                    idn = bn(idn, t + ".downsample.1")
+                x = F.relu(y + idn)
+        return x.mean(dim=(2, 3)).numpy()
+
+
+def test_resnet18_export_roundtrip_matches_torch(tmp_path):
+    """Full ``--weights`` journey: torchvision-layout state_dict -> the
+    export script (``--state_dict`` path, subprocess) -> pickle ->
+    ``load_params_npz`` -> flax forward == torch oracle forward.
+
+    Pins the OIHW->HWIO transpose, FrozenBatchNorm running-stat mapping,
+    padding conventions, and the avgpool — i.e. that a user's real
+    torchvision resnet18 checkpoint reproduces torch features through
+    ``extract_features.py --weights`` (reference journey:
+    ``wsi_processing/extract_features.py:25-29``).
+    """
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import torch
+
+    from murcl_tpu.preprocess.extract import load_params_npz
+    from murcl_tpu.preprocess.resnet import create_encoder
+
+    rng = np.random.default_rng(7)
+    sd = _torchvision_resnet18_state_dict(rng)
+    ckpt = tmp_path / "resnet18_random.pth"
+    torch.save(sd, ckpt)
+
+    out = tmp_path / "resnet18_random.pkl"
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(repo / "scripts/export_torchvision_weights.py"),
+         "--encoder", "resnet18", "--state_dict", str(ckpt), "--out", str(out)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+
+    params = load_params_npz(out)
+    model, feat_dim = create_encoder("resnet18")
+
+    x = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    ours = np.asarray(model.apply(params, x))
+    oracle = _torch_resnet18_forward(sd, torch.tensor(x).permute(0, 3, 1, 2))
+
+    assert ours.shape == (2, feat_dim) == oracle.shape
+    np.testing.assert_allclose(ours, oracle, rtol=2e-4, atol=2e-5)
 
 
 # ---------------------------------------------------------------- k-means --
