@@ -37,3 +37,50 @@ def synthetic_dataset(tmp_path_factory):
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+# --------------------------------------------------------------------------
+# slow-marking (measured on the 1-vCPU CI host, round 4): the full suite is
+# ~22 min; everything below is >=10 s/test and together ~17 min of it.
+# Deselected by default (pyproject addopts -m 'not slow'); run the full bar
+# with `pytest -m ''` before committing kernel or engine changes. The fast
+# subset intentionally keeps one representative per subsystem (ABMIL
+# stage-1 engine step, fused-kernel grads-vs-XLA, PPO update, compaction
+# golden tests below the 10 s line).
+# --------------------------------------------------------------------------
+_SLOW_MODULES = {
+    "test_drivers",             # full multi-stage driver chains (339 s)
+    "test_parallel",            # 8-device shard_map oracles (226 s)
+    "test_contrastive_parity",  # torch-reference lockstep (72 s)
+}
+_SLOW_TESTS = {
+    "test_tiled_chunking_matches_golden_interpret",
+    "test_band_flag_forces_variants_interpret",
+    "test_banded_resident_truncation_saturates_base",
+    "test_pallas_kernel_multi_tile_ragged_interpret",
+    "test_remat_none_matches_save_subbag",
+    "test_pretrain_step_all_stages",
+    "test_stage1_layouts_both_train",
+    "test_supervised_batched_prime_gate_stops_t0_grads",
+    "test_kernel_mix_sequential_route_matches",
+    "test_kernel_mix_route_matches_mixup_rows_route",
+    "test_stage1_batched_rollout_matches_sequential_math",
+    "test_patch_encoder_shapes",
+    "test_resnet18_export_roundtrip_matches_torch",
+    "test_tiled_forward_matches_xla",
+    "test_fused_trunk_mix_matches_premixed",
+}
+_SLOW_PARAMS = {  # slow only for these parametrizations
+    ("test_stage1_train_step_decreases_loss", "CLAM_SB"),
+    ("test_stage1_train_step_decreases_loss", "DSMIL"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        base = item.name.split("[")[0]
+        param = item.name[len(base) + 1 : -1] if "[" in item.name else None
+        if (mod in _SLOW_MODULES or base in _SLOW_TESTS
+                or (param is not None and (base, param) in _SLOW_PARAMS)):
+            item.add_marker(pytest.mark.slow)
