@@ -30,11 +30,11 @@ SLIDES, DIM, K, FEAT, T, EPOCHS = 40, 32, 5, 32, 2, 40
 LR = 1e-3
 
 
-def make_dataset(root):
+def make_dataset(root, dim=DIM):
     from murcl_tpu.data.synthetic import generate_synthetic_dataset
 
     return generate_synthetic_dataset(
-        root, num_slides=SLIDES, dim=DIM, num_clusters=K, seed=985,
+        root, num_slides=SLIDES, dim=dim, num_clusters=K, seed=985,
         min_patches=60, max_patches=160, signal=8.0,
     )
 
@@ -151,10 +151,54 @@ def _chain_hparams():
     )
 
 
-def run_ours_chain(ds, root, dp_devices: int = 0) -> pd.DataFrame:
+def _chain_arch(arch: str) -> dict:
+    """Per-arch chain settings (VERDICT r3 item 7: chains beyond ABMIL).
+
+    - Pretraining supports only {ABMIL, CLAM_SB} (``train_MuRCL.py:487``);
+      a DSMIL chain pretrains ABMIL with L == dim_patch so the transferred
+      PPO policy's state width matches DSMIL's states (the bag embedding B
+      is ``dim_patch``-wide: ``models/dsmil.py:79-80``,
+      ``train_RLMIL.py:515-516``).
+    - The CLAM chain needs ``dim_patch == 512``: the reference builds
+      ``Full_layer(feature_num=dim_patch)`` for CLAM
+      (``train_RLMIL.py:102-115``) but feeds it the 512-wide bag feature M
+      — consistent only in the resnet18 regime the paper ran (PARITY.md
+      §feature-width quirk). ``model_dim`` (the PPO state width,
+      ``train_RLMIL.py:160``) must also be 512 there.
+    - The DSMIL and CLAM chains must finetune at ``batch_size=1`` (the
+      reference CLI default): with a batched feats tensor both models'
+      ``batch_forward`` return Python lists — DSMIL crashes at
+      ``torch.max(outputs_ins, 0)`` (``train_RLMIL.py:516``,
+      ``models/dsmil.py:18-36``) and CLAM at
+      ``result_dict['instance_loss']`` (``train_RLMIL.py:336``,
+      ``models/clam.py:184-196`` returns a list of dicts). Ours is batched
+      for any size; parity runs both sides at 1.
+    - Batch 1 also forces ``T=3``: the reference's PPO update normalizes a
+      ``((T-1)*B,)`` reward vector with torch's UNBIASED std
+      (``models/rlmil.py:162``) — one element gives std=NaN and the policy
+      NaNs on the next ``select_action`` (measured). The paper regime
+      (T=6, batch 1) never hits it; ours uses jnp.std (population, 0 for
+      one element) and trains fine either way (PARITY.md).
+    """
+    if arch == "ABMIL":
+        return dict(dim=DIM, pre_arch="ABMIL", model_dim=32, feature_num=32,
+                    L=32, ft_batch=2, T=T)
+    if arch == "CLAM_SB":
+        return dict(dim=512, pre_arch="CLAM_SB", model_dim=512,
+                    feature_num=512, L=32, ft_batch=1, T=3)
+    if arch == "DSMIL":
+        return dict(dim=DIM, pre_arch="ABMIL", model_dim=32, feature_num=32,
+                    L=32, ft_batch=1, T=3)
+    raise ValueError(arch)
+
+
+def run_ours_chain(ds, root, arch: str = "ABMIL",
+                   dp_devices: int = 0) -> pd.DataFrame:
     from murcl_tpu.drivers import murcl, rlmil
 
     hp = _chain_hparams()
+    ac = _chain_arch(arch)
+    hp["T"] = ac["T"]
     if dp_devices:
         # SPMD shard_map mode through the whole chain (PARITY.md §spmd)
         hp["dp_devices"] = dp_devices
@@ -163,8 +207,8 @@ def run_ours_chain(ds, root, dp_devices: int = 0) -> pd.DataFrame:
         args = murcl.default_args(
             data_csv=ds["data_csv"], data_split_json=ds["data_split_json"],
             train_stage=stage, epochs=PRE_EPOCHS, ppo_epochs=PPO_EPOCHS,
-            data_repeat=2, batch_size=PRE_BATCH, arch="ABMIL",
-            model_dim=32, projection_dim=16, temperature=0.5,
+            data_repeat=2, batch_size=PRE_BATCH, arch=ac["pre_arch"],
+            model_dim=ac["model_dim"], projection_dim=16, temperature=0.5,
             backbone_lr=LR, fc_lr=LR,
             base_save_dir=str(Path(root) / "ours_pretrain"), **hp,
         )
@@ -176,7 +220,9 @@ def run_ours_chain(ds, root, dp_devices: int = 0) -> pd.DataFrame:
         args = rlmil.default_args(
             data_csv=ds["data_csv"], data_split_json=ds["data_split_json"],
             train_method="finetune", train_stage=stage, epochs=FT_EPOCHS,
-            ppo_epochs=PPO_EPOCHS, batch_size=2, arch="ABMIL", L=32,
+            ppo_epochs=PPO_EPOCHS, batch_size=ac["ft_batch"], arch=arch,
+            L=ac["L"],
+            model_dim=ac["model_dim"],
             backbone_lr=LR, fc_lr=LR, checkpoint_pretrained=pretrained,
             checkpoint_stage=None, save_model=True,
             base_save_dir=str(Path(root) / "ours_finetune"), **hp,
@@ -185,9 +231,11 @@ def run_ours_chain(ds, root, dp_devices: int = 0) -> pd.DataFrame:
     return pd.read_csv(Path(res["save_dir"]) / "final_res.csv", index_col=0)
 
 
-def run_reference_chain(ds, root) -> pd.DataFrame:
+def run_reference_chain(ds, root, arch: str = "ABMIL") -> pd.DataFrame:
     _patch_reference_torch()
     hp = _chain_hparams()
+    ac = _chain_arch(arch)
+    hp["T"] = ac["T"]
     sys.path.insert(0, "/root/reference")
     try:
         import train_MuRCL as refm
@@ -202,7 +250,7 @@ def run_reference_chain(ds, root) -> pd.DataFrame:
             data_csv=ds["data_csv"], data_split_json=ds["data_split_json"],
             preload=True, optimizer="Adam", scheduler=None,
             momentum=0.9, nesterov=True, beta1=0.9, beta2=0.999,
-            warmup=0, wdecay=1e-5, patience=None, arch="ABMIL",
+            warmup=0, wdecay=1e-5, patience=None,
             policy_conv=False, fc_rnn=True, dropout=0.0,
             size_arg="small", k_sample=8, use_tensorboard=False,
             save_dir=None, save_dir_flag=None, save_model=True,
@@ -214,7 +262,8 @@ def run_reference_chain(ds, root) -> pd.DataFrame:
                 train_stage=stage, epochs=PRE_EPOCHS, ppo_epochs=PPO_EPOCHS,
                 data_repeat=2, batch_size=PRE_BATCH, checkpoint=None,
                 backbone_lr=LR, fc_lr=LR, temperature=0.5, alpha=0.9,
-                projection_dim=16, model_dim=32, feature_num=32,
+                projection_dim=16, arch=ac["pre_arch"],
+                model_dim=ac["model_dim"], feature_num=ac["feature_num"],
                 base_save_dir=str(Path(root) / "reference_pretrain"),
                 **common,
             )
@@ -227,10 +276,11 @@ def run_reference_chain(ds, root) -> pd.DataFrame:
             args = SimpleNamespace(
                 train_data="train", train_method="finetune",
                 train_stage=stage, epochs=FT_EPOCHS, ppo_epochs=PPO_EPOCHS,
-                batch_size=2, checkpoint_stage=None,
+                batch_size=ac["ft_batch"], checkpoint_stage=None,
                 checkpoint_pretrained=pretrained, backbone_lr=LR, fc_lr=LR,
-                picked_method="score", num_classes=2, model_dim=32,
-                feature_num=32, load_fc=False, L=32,
+                picked_method="score", num_classes=2, arch=arch,
+                model_dim=ac["model_dim"],
+                feature_num=ac["feature_num"], load_fc=False, L=ac["L"],
                 train_model_prime=True, bag_weight=0.7,
                 loss="CrossEntropyLoss",
                 base_save_dir=str(Path(root) / "reference_finetune"),
@@ -284,11 +334,13 @@ def main():
 
     root = tempfile.mkdtemp(prefix="parity_")
     if cli.full_chain:
-        ds = make_dataset(root)
-        ours = run_ours_chain(ds, root, dp_devices=cli.spmd)
-        theirs = run_reference_chain(ds, root)
-        desc = (f"FULL chain (pretrain 1-3 -> finetune 1-3, ABMIL): {SLIDES} "
-                f"synthetic slides, dim={DIM}, K={K}, feat_size={FEAT}, T={T}, "
+        ac = _chain_arch(cli.arch)
+        ds = make_dataset(root, dim=ac["dim"])
+        ours = run_ours_chain(ds, root, arch=cli.arch, dp_devices=cli.spmd)
+        theirs = run_reference_chain(ds, root, arch=cli.arch)
+        desc = (f"FULL chain (pretrain 1-3 [{ac['pre_arch']}] -> finetune 1-3 "
+                f"[{cli.arch}]): {SLIDES} synthetic slides, dim={ac['dim']}, "
+                f"K={K}, feat_size={FEAT}, T={ac['T']}, "
                 f"{PRE_EPOCHS}+{FT_EPOCHS} epochs, ppo {PPO_EPOCHS}"
                 + (f", ours in SPMD mode over {cli.spmd} devices"
                    if cli.spmd and cli.spmd > 1 else ""))

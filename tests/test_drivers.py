@@ -183,6 +183,53 @@ def test_dsmil_scratch_stages(synth, tmp_path):
     assert Path(res2["save_dir"], "final_res.csv").exists()
 
 
+def test_dsmil_finetune_from_abmil_pretrain(synth, tmp_path):
+    """The DSMIL chain's surgery path: MuRCL pretraining supports only
+    {ABMIL, CLAM_SB} (``train_MuRCL.py:487``), so the reference's DSMIL
+    route finetunes from an ABMIL pretrain whose L equals DSMIL's
+    ``dim_patch``-wide states (``train_RLMIL.py:515-516`` — the policy
+    checkpoint transfers only when the state widths match). Stage 1 loads
+    the pretrained encoder with strict=False semantics (no DSMIL key
+    matches an ABMIL encoder -> model keeps fresh init, like the
+    reference's ``load_state_dict(..., strict=False)``,
+    ``train_RLMIL.py:134``); stage 2 must still transfer the policy."""
+    import jax
+    import jax.numpy as jnp
+
+    from murcl_tpu.engine.checkpoint import load_checkpoint
+
+    out = None
+    for stage in (1, 2, 3):
+        out = murcl.run(_murcl_args(synth, tmp_path, stage))
+    pretrained = str(Path(out["save_dir"], "model_best.pth.tar"))
+
+    res = rlmil.run(_rlmil_args(synth, tmp_path, 1, "finetune", arch="DSMIL",
+                                checkpoint_pretrained=pretrained))
+    assert Path(res["save_dir"], "final_res.csv").exists()
+
+    res2 = rlmil.run(_rlmil_args(synth, tmp_path, 2, "finetune", arch="DSMIL",
+                                 checkpoint_pretrained=pretrained))
+    assert Path(res2["save_dir"]).name == "stage_2"
+
+    # the stage-2 run consumed the PRETRAIN policy: its saved policy must
+    # differ from a fresh init at the driver's seed (widths match: ABMIL
+    # L=16 == dim_patch=16), i.e. the transfer was not silently skipped
+    from murcl_tpu.models import PPO
+
+    ck = load_checkpoint(Path(res2["save_dir"]) / "model_best.pth.tar")
+    assert ck.get("policy") is not None
+    ppo = PPO(state_dim=16, hidden_state_dim=16, action_size=4,
+              action_std=0.5)
+    rng = jax.random.PRNGKey(985)
+    _, _, r_ppo = jax.random.split(rng, 3)
+    fresh = ppo.init(r_ppo, jnp.zeros((2, 16)))
+    saved = jax.tree_util.tree_leaves(ck["policy"])
+    fresh_leaves = jax.tree_util.tree_leaves(fresh.params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(saved, fresh_leaves)), \
+        "stage-2 DSMIL finetune ran with a fresh policy (transfer skipped)"
+
+
 def test_stage2_policy_feeds_stage3_and_changes_behavior(synth, tmp_path):
     """The stage-2 driver's learned policy is consumed by stage 3 and is
     not inert: stage-2 training moves the policy away from its stage-1
