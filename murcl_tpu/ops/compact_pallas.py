@@ -343,17 +343,30 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
     """
     b, n_max = ranks.shape
     d = bank_feats.shape[1]
+    if variant not in ("auto", "resident", "tiled"):
+        raise ValueError(f"variant must be auto|resident|tiled, got {variant!r}")
+    resident = variant == "resident"
     if tile:
         # explicit override (measurement / tuning); must keep the DMA
         # alignment proof (multiple of 8) and divide the window
         if tile % 8 != 0:
             raise ValueError(f"tile must be a multiple of 8, got {tile}")
-    else:
-        # default: 256 when the window allows — measured +9.6% whole-step
-        # over 128 in the tiled regime (fewer grid steps, bigger DMAs).
-        # tile=512 compiles but hits a TPU backend INTERNAL error at
-        # runtime (2026-08-17) — do not re-attempt via the override either.
+    elif resident:
+        # resident regime prefers the wider tile (11.40 ms at 256 vs 12.13
+        # at 128, round 4: its per-tile loop is structure-bound, not
+        # FLOP-bound). tile=512 compiles but hits a TPU backend INTERNAL
+        # error at runtime (2026-08-17) — do not re-attempt via the
+        # override either.
         tile = 256 if n_max % 256 == 0 else 128
+    else:
+        # chunked tiled default: 128. Multi-tile chunks set the DMA
+        # granularity (tile no longer does), so the narrower tile is a pure
+        # one-hot-FLOP cut — the banded slab shrinks (tile+128) 384 -> 256,
+        # 0.67x MXU work per live row. Measured round 4 at the canonical
+        # shape: 9.33 ms vs 9.98 at tile=256, golden-exact. (The round-3
+        # "+9.6% at 256" predates chunking, when tile DID set the DMA and
+        # grid-step granularity.)
+        tile = 128
     if n_max % tile != 0:
         # the grid walks n_max // tile full tiles; a ragged tail would be
         # silently dropped (wrong selections, no error). Bank builders pad
@@ -375,11 +388,6 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
     # double-buffered whole-window scratch needs the window under ~5 MB
     # (a 7.3 MB f32 window compiled to a 24.4 MB scoped allocation and
     # OOMed the 16 MB VMEM limit — measured)
-    if variant == "auto":
-        resident = False
-    else:
-        resident = variant == "resident"
-
     in_specs = [
         # (B, 1, Nmax) so the block's last two dims equal the array's
         # (the TPU lowering requires (8, 128)-divisible or full dims)

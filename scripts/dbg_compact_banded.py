@@ -64,7 +64,11 @@ def main():
     want = np.asarray(cp.gather_compact_xla(bank, offs[:4], ranks[:4], FEAT))
     for variant, band, tile in (("resident", "off", 0), ("resident", "on", 0),
                                 ("resident", "on", 128),
-                                ("tiled", "on", 0), ("tiled", "off", 0)):
+                                ("tiled", "on", 0), ("tiled", "off", 0),
+                                # tile=128 halves the slab (256 vs 384):
+                                # 0.67x one-hot FLOPs/bag vs tile=256 at the
+                                # same chunked DMA granularity (round 4)
+                                ("tiled", "on", 128)):
         fn = lambda r: cp.gather_compact(bank, offs, r, FEAT,
                                          num_patches=nump, variant=variant,
                                          band=band, tile=tile)
