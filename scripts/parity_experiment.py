@@ -30,12 +30,14 @@ SLIDES, DIM, K, FEAT, T, EPOCHS = 40, 32, 5, 32, 2, 40
 LR = 1e-3
 
 
-def make_dataset(root, dim=DIM):
+def make_dataset(root, dim=DIM, num_clusters=K, min_patches=60,
+                 max_patches=160, num_slides=SLIDES):
     from murcl_tpu.data.synthetic import generate_synthetic_dataset
 
     return generate_synthetic_dataset(
-        root, num_slides=SLIDES, dim=dim, num_clusters=K, seed=985,
-        min_patches=60, max_patches=160, signal=8.0,
+        root, num_slides=num_slides, dim=dim, num_clusters=num_clusters,
+        seed=985, min_patches=min_patches, max_patches=max_patches,
+        signal=8.0,
     )
 
 
@@ -301,6 +303,14 @@ def main():
                         help="run on a mounted real dataset (Camelyon16/TCGA) "
                              "instead of the synthetic fixture; requires "
                              "--data_csv/--data_split_json")
+    parser.add_argument("--real-dims", action="store_true", default=False,
+                        help="scratch-stage-1 parity at REFERENCE dimensions "
+                             "(dim=512 features, feat_size=1024, T=6, L=512, "
+                             "D=128, fc_hidden=1024 — runs/scratch.sh scale) "
+                             "on a heavier synthetic set; the closest "
+                             "rehearsal of the Camelyon16 target without "
+                             "mounted data. CLAM/DSMIL run at batch 1 "
+                             "(reference batched-train crash, PARITY.md)")
     parser.add_argument("--full-chain", action="store_true", default=False,
                         help="run the FULL MuRCL pipeline both-implementations "
                              "on the synthetic fixture: 3-stage pretrain -> "
@@ -344,6 +354,34 @@ def main():
                 f"{PRE_EPOCHS}+{FT_EPOCHS} epochs, ppo {PPO_EPOCHS}"
                 + (f", ours in SPMD mode over {cli.spmd} devices"
                    if cli.spmd and cli.spmd > 1 else ""))
+    elif cli.real_dims:
+        # Reference-scale rehearsal on synthetic data (runs/scratch.sh
+        # hyperparameters): dim=512 patch features, >=1024 patches/slide so
+        # the reference's get_feats never hits its feat_size>num_patch
+        # padding path (utils/datasets.py:285-303), K=10 clusters, T=6,
+        # L=512/D=128/fc_hidden=1024, CosineAnnealingLR, lr 1e-4/5e-5.
+        # CLAM_SB/DSMIL train at batch 1 (reference batched-train crash,
+        # PARITY.md); ABMIL batches fine. ~1 GFLOP/bag forward — expect
+        # tens of minutes per side on a 1-vCPU host at default epochs.
+        batch = cli.batch_size or (2 if cli.arch == "ABMIL" else 1)
+        ds = make_dataset(root, dim=512, num_clusters=10,
+                          min_patches=1050, max_patches=1500)
+        overrides = {
+            "dataset": "real_dims", "arch": cli.arch, "device": cli.device,
+            "feat_size": cli.feat_size or 1024, "T": cli.T or 6,
+            "epochs": cli.epochs or 10, "batch_size": batch,
+            "backbone_lr": 1e-4, "fc_lr": 5e-5,
+            "scheduler": "CosineAnnealingLR",
+            "L": 512, "D": 128, "fc_hidden_dim": 1024,
+            "model_dim": 512, "feature_num": 512, "policy_hidden_dim": 512,
+        }
+        ours = run_ours(ds, root, overrides)
+        theirs = run_reference(ds, root, overrides)
+        desc = (f"reference-dims scratch stage 1 ({cli.arch}): {SLIDES} "
+                f"synthetic slides, dim=512, K=10, 1050-1500 patches/slide, "
+                f"feat_size={overrides['feat_size']}, T={overrides['T']}, "
+                f"L=512, D=128, fc_hidden=1024, batch={batch}, "
+                f"{overrides['epochs']} epochs, CosineAnnealingLR")
     elif cli.real_data:
         assert cli.data_csv and cli.data_split_json, \
             "--real-data requires --data_csv and --data_split_json"
