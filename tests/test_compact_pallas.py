@@ -291,3 +291,44 @@ def test_banded_resident_truncation_saturates_base():
                              interpret=True, variant=variant, band="on")
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
                                       err_msg=variant)
+
+
+def test_override_guards():
+    """Misuse guards on the measurement/tuning overrides (advisor r3):
+    non-8-multiple ``tile`` is rejected; a non-128-multiple tile disables
+    banding (``band='on'`` then fails loudly instead of letting the slab
+    clamp break its own alignment proof); an oversized ``chunk_tiles``
+    override is clamped to the window (no out-of-bounds DMA) and stays
+    golden-exact; a ragged Nmax/tile split is rejected outright."""
+    rng = np.random.default_rng(31)
+    feats, clusters, bank = _bank(rng, batch=3, min_n=40, max_n=700)
+    ids = jnp.asarray([0, 2, 1], jnp.int32)
+    actions = jnp.asarray(rng.random((3, K)), jnp.float32)
+    feat_size = 512
+    ranks, row_offs, _ = select_ranks(
+        ids, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
+        jnp.asarray(bank.cluster_sizes), actions,
+        jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
+        feat_size=feat_size,
+    )
+    bf = jnp.asarray(bank.feats, jnp.bfloat16)
+    nump = jnp.asarray(bank.num_patches)[ids]
+    want = gather_compact_xla(bf, row_offs, ranks, feat_size)
+
+    with pytest.raises(ValueError, match="multiple of 8"):
+        gather_compact(bf, row_offs, ranks, feat_size, interpret=True,
+                       tile=12)
+    # 8-multiple but not 128-multiple: legal only with banding off
+    # (the banded slab's alignment proof needs tile % 128 == 0)
+    with pytest.raises(ValueError, match="band"):
+        gather_compact(bf, row_offs, ranks, feat_size, interpret=True,
+                       variant="resident", tile=8, band="on")
+    with pytest.raises(ValueError, match="divisible"):
+        # Nmax not divisible by the tile override
+        gather_compact(bf, row_offs, ranks, feat_size, interpret=True,
+                       tile=ranks.shape[1] - 8)
+    # oversized chunk_tiles override: clamped to n_tiles, result exact
+    got = gather_compact(bf, row_offs, ranks, feat_size, num_patches=nump,
+                         interpret=True, variant="tiled", tile=128,
+                         chunk_tiles=9999)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
