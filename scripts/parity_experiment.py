@@ -143,10 +143,10 @@ def run_reference(ds, root, overrides=None) -> pd.DataFrame:
 PRE_EPOCHS, FT_EPOCHS, PPO_EPOCHS, PRE_BATCH = 6, 20, 4, 4
 
 
-def _chain_hparams():
+def _chain_hparams(seed: int = 985):
     return dict(
         dataset="parity", feat_size=FEAT, T=T, device="cpu",
-        exist_ok=True, seed=985,
+        exist_ok=True, seed=seed,
         # tiny-arch sizes shared by pretrain and finetune
         fc_hidden_dim=32, policy_hidden_dim=32, D=8,
         ppo_lr=1e-4, K_epochs=2, action_std=0.5, ppo_gamma=0.1,
@@ -195,10 +195,10 @@ def _chain_arch(arch: str) -> dict:
 
 
 def run_ours_chain(ds, root, arch: str = "ABMIL",
-                   dp_devices: int = 0) -> pd.DataFrame:
+                   dp_devices: int = 0, seed: int = 985) -> pd.DataFrame:
     from murcl_tpu.drivers import murcl, rlmil
 
-    hp = _chain_hparams()
+    hp = _chain_hparams(seed)
     ac = _chain_arch(arch)
     hp["T"] = ac["T"]
     if dp_devices:
@@ -233,9 +233,10 @@ def run_ours_chain(ds, root, arch: str = "ABMIL",
     return pd.read_csv(Path(res["save_dir"]) / "final_res.csv", index_col=0)
 
 
-def run_reference_chain(ds, root, arch: str = "ABMIL") -> pd.DataFrame:
+def run_reference_chain(ds, root, arch: str = "ABMIL",
+                        seed: int = 985) -> pd.DataFrame:
     _patch_reference_torch()
-    hp = _chain_hparams()
+    hp = _chain_hparams(seed)
     ac = _chain_arch(arch)
     hp["T"] = ac["T"]
     sys.path.insert(0, "/root/reference")
@@ -326,6 +327,11 @@ def main():
     parser.add_argument("--T", type=int, default=None)
     parser.add_argument("--device", type=str, default="cpu",
                         help="ours runs on this backend; the reference is CPU torch")
+    parser.add_argument("--seed", type=int, default=985,
+                        help="training seed for BOTH implementations (the "
+                             "synthetic dataset's generation seed stays "
+                             "fixed, so different seeds train on identical "
+                             "data — for run-to-run variance studies)")
     parser.add_argument("--spmd", type=int, default=0,
                         help="with --full-chain: run OUR chain in SPMD "
                              "shard_map mode (--dp_devices) over this many "
@@ -346,8 +352,9 @@ def main():
     if cli.full_chain:
         ac = _chain_arch(cli.arch)
         ds = make_dataset(root, dim=ac["dim"])
-        ours = run_ours_chain(ds, root, arch=cli.arch, dp_devices=cli.spmd)
-        theirs = run_reference_chain(ds, root, arch=cli.arch)
+        ours = run_ours_chain(ds, root, arch=cli.arch, dp_devices=cli.spmd,
+                              seed=cli.seed)
+        theirs = run_reference_chain(ds, root, arch=cli.arch, seed=cli.seed)
         desc = (f"FULL chain (pretrain 1-3 [{ac['pre_arch']}] -> finetune 1-3 "
                 f"[{cli.arch}]): {SLIDES} synthetic slides, dim={ac['dim']}, "
                 f"K={K}, feat_size={FEAT}, T={ac['T']}, "
@@ -374,6 +381,7 @@ def main():
             "scheduler": "CosineAnnealingLR",
             "L": 512, "D": 128, "fc_hidden_dim": 1024,
             "model_dim": 512, "feature_num": 512, "policy_hidden_dim": 512,
+            "seed": cli.seed,
         }
         ours = run_ours(ds, root, overrides)
         theirs = run_reference(ds, root, overrides)
@@ -392,15 +400,15 @@ def main():
             "feat_size": cli.feat_size or 1024, "T": cli.T or 6,
             "epochs": cli.epochs or 40, "batch_size": cli.batch_size or 64,
             "backbone_lr": 1e-4, "fc_lr": 1e-4, "L": 512, "D": 128,
-            "fc_hidden_dim": 1024,
+            "fc_hidden_dim": 1024, "seed": cli.seed,
         }
         ours = run_ours(ds, root, overrides)
         theirs = run_reference(ds, root, overrides)
         desc = f"real data: {cli.data_csv} ({cli.arch})"
     else:
         ds = make_dataset(root)
-        ours = run_ours(ds, root)
-        theirs = run_reference(ds, root)
+        ours = run_ours(ds, root, {"seed": cli.seed})
+        theirs = run_reference(ds, root, {"seed": cli.seed})
         desc = (f"{SLIDES} synthetic slides, dim={DIM}, K={K}, "
                 f"feat_size={FEAT}, T={T}, {EPOCHS} epochs")
     report = {
