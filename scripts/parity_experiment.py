@@ -332,6 +332,10 @@ def main():
                              "synthetic dataset's generation seed stays "
                              "fixed, so different seeds train on identical "
                              "data — for run-to-run variance studies)")
+    parser.add_argument("--slides", type=int, default=None,
+                        help="with --real-dims: synthetic-slide count "
+                             "(default 40 -> 10-slide test split; 100 gives "
+                             "a 25-slide test set, 4x finer AUC resolution)")
     parser.add_argument("--spmd", type=int, default=0,
                         help="with --full-chain: run OUR chain in SPMD "
                              "shard_map mode (--dp_devices) over this many "
@@ -371,8 +375,10 @@ def main():
         # PARITY.md); ABMIL batches fine. ~1 GFLOP/bag forward — expect
         # tens of minutes per side on a 1-vCPU host at default epochs.
         batch = cli.batch_size or (2 if cli.arch == "ABMIL" else 1)
+        slides = cli.slides or SLIDES
         ds = make_dataset(root, dim=512, num_clusters=10,
-                          min_patches=1050, max_patches=1500)
+                          min_patches=1050, max_patches=1500,
+                          num_slides=slides)
         overrides = {
             "dataset": "real_dims", "arch": cli.arch, "device": cli.device,
             "feat_size": cli.feat_size or 1024, "T": cli.T or 6,
@@ -385,7 +391,7 @@ def main():
         }
         ours = run_ours(ds, root, overrides)
         theirs = run_reference(ds, root, overrides)
-        desc = (f"reference-dims scratch stage 1 ({cli.arch}): {SLIDES} "
+        desc = (f"reference-dims scratch stage 1 ({cli.arch}): {slides} "
                 f"synthetic slides, dim=512, K=10, 1050-1500 patches/slide, "
                 f"feat_size={overrides['feat_size']}, T={overrides['T']}, "
                 f"L=512, D=128, fc_hidden=1024, batch={batch}, "
