@@ -211,6 +211,8 @@ class ContrastiveEngine:
         x_flat = _materialize_subbags(
             self.cfg, bank, jnp.tile(both_ids, t_steps),
             actions.reshape(t_steps * 2 * b, cfg.num_clusters),
+            repeat=t_steps * 2,  # same b slides every (step, view): the
+            # compaction kernel shares each slide window's DMA group-wide
         )
 
         # mixup permutes within each (step, view) batch separately. On the
@@ -334,6 +336,7 @@ class ContrastiveEngine:
             x2 = _materialize_subbags(
                 cfg, bank, both_ids,
                 jnp.concatenate([actions_a, actions_b]),
+                repeat=2,  # both views select from the same slide windows
             )
             if self._fused_trunk_mix(x2):
                 # mixup rides the fused trunk+attention kernel (same draws;

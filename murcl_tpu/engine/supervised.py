@@ -50,7 +50,7 @@ def _use_compact(cfg, bank) -> bool:
     )
 
 
-def _materialize_subbags(cfg, bank, slide_ids, actions):
+def _materialize_subbags(cfg, bank, slide_ids, actions, repeat: int = 1):
     """Gather the ``(B, feat_size, D)`` sub-bags for a flat batch.
 
     On TPU (``cfg.select_impl='auto'``) the compaction-matmul kernel
@@ -58,6 +58,12 @@ def _materialize_subbags(cfg, bank, slide_ids, actions):
     contiguous-row DMA + an MXU one-hot contraction — replacing the rank
     scatter + per-row HBM gather + mask pass (~41 ms/step at the canonical
     shape). Identical outputs to :func:`select_feats`.
+
+    ``repeat`` declares that ``slide_ids`` is the same slide list tiled
+    ``repeat`` times (the contrastive engines' two-view / batched-T
+    layouts): the kernel then shares each slide window's DMA across the
+    same-slide bags (``gather_compact`` grouped path) — bitwise-identical
+    outputs, ``repeat``-fold less window traffic.
     """
     if _use_compact(cfg, bank):
         from murcl_tpu.ops.compact_pallas import gather_compact
@@ -68,7 +74,8 @@ def _materialize_subbags(cfg, bank, slide_ids, actions):
             feat_size=cfg.feat_size,
         )
         return gather_compact(bank.feats, row_offs, ranks, cfg.feat_size,
-                              num_patches=bank.num_patches[slide_ids])
+                              num_patches=bank.num_patches[slide_ids],
+                              repeat=repeat)
     return select_feats(
         bank.feats, slide_ids, bank.offsets, bank.num_patches,
         bank.cluster_tables, bank.cluster_sizes, actions,
@@ -293,6 +300,8 @@ class SupervisedEngine:
         x = _materialize_subbags(
             cfg, bank, jnp.tile(slide_ids, t_steps),
             actions.reshape(t_steps * b, cfg.num_clusters),
+            repeat=t_steps,  # same b slides every step: the compaction
+            # kernel shares each slide window's DMA across the group
         )
         labels_t = jnp.tile(labels, t_steps)
 

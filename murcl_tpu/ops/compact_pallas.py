@@ -274,6 +274,115 @@ def _make_kernel_tiled(n_max: int, tile: int, feat_size: int, d: int,
     return kernel
 
 
+def _make_kernel_grouped(n_max: int, tile: int, feat_size: int, d: int,
+                         group: int, b_slides: int, slab: int = 0,
+                         chunk_tiles: int = 1):
+    """Slide-grouped streaming compaction over ``grid = (B//group, n_chunks)``.
+
+    The batched stage-1 layout tiles the same ``b`` slides ``repeat`` times
+    (``engine/contrastive.py``: ``jnp.tile(both_ids, T)`` of
+    ``concat([ids, ids])`` — every step/view selects from the SAME slide
+    window, only the actions differ). The plain tiled kernel therefore
+    re-reads each slide window ``repeat`` times — and its ablation
+    (``scripts/dbg_compact_ablate.py``) showed the window DMA is 91% of the
+    kernel. Here one grid step DMAs a window chunk ONCE and feeds the
+    one-hot contractions of ``group`` bags that share the slide: the window
+    read shrinks ``group``-fold while FLOPs/output traffic are unchanged.
+
+    Operands are viewed ``(repeat//group, group, b, ...)`` — C-order of the
+    flat ``(repeat*b, ...)`` bag axis, so group members are the same slide
+    slot ``s`` at flat indices ``(go*group + j)*b + s``. Accumulation
+    happens directly in the (revisited) output block in the bank dtype:
+    exact, because every output row receives exactly one nonzero
+    contribution (ranks are unique per bag) — measured golden-exact as the
+    ``bf16acc`` ablation variant.
+    """
+    chunk = chunk_tiles * tile
+    n_chunks = -(-n_max // chunk)
+
+    def kernel(offs8_ref, nump_ref, ranks_ref, feats_hbm, out_ref,
+               rows_buf, base_ref, sems):
+        gi = pl.program_id(0)  # flat group index: go * b_slides + s
+        c = pl.program_id(1)
+        ng = pl.num_programs(0)
+        li = gi * n_chunks + c
+        slot = jax.lax.rem(li, 2)
+
+        def flat0(g):
+            # flat bag index of the group's member 0 (all members share the
+            # slide, hence the offset and patch count)
+            go = jax.lax.div(g, b_slides)
+            s = jax.lax.rem(g, b_slides)
+            return go * (group * b_slides) + s
+
+        def live(g, ch):
+            return ch * chunk < nump_ref[flat0(g)]
+
+        def dma(g, ch, sl):
+            return pltpu.make_async_copy(
+                feats_hbm.at[pl.ds(offs8_ref[flat0(g)] * 8 + ch * chunk,
+                                   chunk), :],
+                rows_buf.at[sl], sems.at[sl],
+            )
+
+        @pl.when((li == 0) & live(0, 0))
+        def _():
+            dma(0, 0, 0).start()
+
+        nxt_g = jax.lax.div(li + 1, n_chunks)
+        nxt_c = jax.lax.rem(li + 1, n_chunks)
+
+        @pl.when((nxt_g < ng) & live(nxt_g, nxt_c))
+        def _():
+            dma(nxt_g, nxt_c, jax.lax.rem(li + 1, 2)).start()
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+            if slab:
+                for j in range(group):
+                    base_ref[j, 0] = 0
+
+        @pl.when(live(gi, c))
+        def _():
+            dma(gi, c, slot).wait()
+            nump = nump_ref[flat0(gi)]
+            for j in range(group):
+                for k in range(chunk_tiles):
+                    tile_start = c * chunk + k * tile
+
+                    @pl.when((tile_start < nump) & (tile_start < n_max))
+                    def _(tile_start=tile_start, j=j, k=k):
+                        ranks_t = ranks_ref[0, j, 0, :,
+                                            pl.ds(tile_start, tile)]  # (1, tile)
+                        rows_t = rows_buf[slot, k * tile:(k + 1) * tile, :]
+                        if not slab:
+                            iota_f = jax.lax.broadcasted_iota(
+                                jnp.int32, (feat_size, tile), 0)
+                            oh = (iota_f == ranks_t).astype(rows_buf.dtype)
+                            out_ref[0, j, 0] += jnp.dot(
+                                oh, rows_t,
+                                preferred_element_type=jnp.float32,
+                            ).astype(out_ref.dtype)
+                        else:
+                            base = base_ref[j, 0]
+                            base_al = jnp.minimum((base // 128) * 128,
+                                                  jnp.int32(feat_size - slab))
+                            start = pl.multiple_of(base_al, 128)
+                            iota_s = jax.lax.broadcasted_iota(
+                                jnp.int32, (slab, tile), 0)
+                            oh = (iota_s + base_al == ranks_t).astype(
+                                rows_buf.dtype)
+                            out_ref[0, j, 0, pl.ds(start, slab), :] += jnp.dot(
+                                oh, rows_t,
+                                preferred_element_type=jnp.float32,
+                            ).astype(out_ref.dtype)
+                            base_ref[j, 0] = base + jnp.sum(
+                                (ranks_t >= 0).astype(jnp.int32))
+
+    return kernel
+
+
 def _mix_kernel(perm_ref, lam_ref, x_ref, xp_ref, out_ref):
     # 1-lam in f32: Mosaic cannot legalize scalar bf16 arithmetic
     lam32 = lam_ref[0, 0, 0]
@@ -319,12 +428,83 @@ def mixup_rows(x, perm_abs, lam, interpret: bool = False):
     )(perm_abs, lam.reshape(b, 1, 1).astype(jnp.float32), x, x)
 
 
+# ceiling for the grouped kernel's (group, feat, d) output block, assumed
+# 2x-buffered by the pipeline; the rest of the 16 MB scoped VMEM goes to the
+# double-buffered window chunks and the ranks block
+_GROUP_OUT_BUDGET = 8 * 1024 * 1024
+
+
+def _pick_group(repeat: int, feat_size: int, d: int, itemsize: int) -> int:
+    """Largest divisor of ``repeat`` whose output block fits the budget."""
+    for g in range(repeat, 1, -1):
+        if repeat % g == 0 and 2 * g * feat_size * d * itemsize <= \
+                _GROUP_OUT_BUDGET:
+            return g
+    return 1
+
+
+def _gather_compact_grouped(bank_feats, row_offsets, ranks, feat_size: int,
+                            num_patches, interpret: bool, tile: int,
+                            chunk_tiles: int, repeat: int, group: int,
+                            slab: int):
+    """Dispatch the slide-grouped tiled kernel (see :func:`gather_compact`)."""
+    b, n_max = ranks.shape
+    d = bank_feats.shape[1]
+    n_tiles = n_max // tile
+    b_slides = b // repeat
+    rg = repeat // group
+    if not chunk_tiles:
+        # ~1 MB per double-buffered window slot: the output block takes the
+        # VMEM the ungrouped kernel spent on wide chunks, and each chunk now
+        # feeds `group` contractions, so the per-step fixed cost amortizes
+        # over group-fold more work anyway
+        chunk_rows = (1024 * 1024) // (d * bank_feats.dtype.itemsize)
+        chunk_tiles = max(1, min(n_tiles, chunk_rows // tile))
+    else:
+        chunk_tiles = min(chunk_tiles, n_tiles)
+    n_chunks = -(-n_tiles // chunk_tiles)
+    kernel = _make_kernel_grouped(n_max, tile, feat_size, d, group,
+                                  b_slides, slab=slab,
+                                  chunk_tiles=chunk_tiles)
+
+    def im(gi, c, offs, nump):
+        return (gi // b_slides, 0, gi % b_slides, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(rg * b_slides, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, group, 1, 1, n_max), im,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # bank stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, group, 1, feat_size, d), im,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk_tiles * tile, d), bank_feats.dtype),
+            pltpu.SMEM((group, 1), jnp.int32),  # banded per-member kept count
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (rg, group, b_slides, feat_size, d), bank_feats.dtype),
+        interpret=interpret,
+    )(row_offsets // 8, num_patches.astype(jnp.int32),
+      ranks.reshape(rg, group, b_slides, 1, n_max), bank_feats)
+    return out.reshape(b, feat_size, d)
+
+
 @partial(jax.jit, static_argnames=("feat_size", "interpret", "variant",
-                                   "band", "tile", "chunk_tiles"))
+                                   "band", "tile", "chunk_tiles", "repeat",
+                                   "group"))
 def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
                    num_patches=None, interpret: bool = False,
                    variant: str = "auto", band: str = "auto",
-                   tile: int = 0, chunk_tiles: int = 0):
+                   tile: int = 0, chunk_tiles: int = 0,
+                   repeat: int = 1, group: int = 0):
     """Compact selected bank rows into ``(B, feat_size, D)`` sub-bags.
 
     ``bank_feats (P, D)`` (P over-allocated by Nmax rows), ``row_offsets
@@ -340,6 +520,18 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
     scripts get distinct compiled programs instead of a silent trace-cache
     hit. ``tile`` overrides the input-tile width (measurement/tuning;
     0 = auto).
+
+    ``repeat`` declares the CALLER-GUARANTEED structure ``B = repeat * b``
+    where bag ``m*b + s`` selects from slide slot ``s``'s window for every
+    ``m`` (the engines' ``jnp.tile``/``concat`` bag layouts — the batched
+    stage-1 rollout repeats each slide T*2 times). With ``repeat > 1`` the
+    tiled kernel groups ``group`` same-slide bags per grid step and issues
+    their shared window DMA ONCE (:func:`_make_kernel_grouped`): the window
+    read — 91% of the plain kernel, measured — shrinks ``group``-fold.
+    ``group=0`` auto-picks the largest divisor of ``repeat`` whose output
+    block fits the VMEM budget; outputs are bitwise those of the ungrouped
+    kernel. Passing ``repeat`` for a bag layout that does NOT repeat slides
+    reads the wrong windows — callers own this invariant.
     """
     b, n_max = ranks.shape
     d = bank_feats.shape[1]
@@ -410,6 +602,17 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
             f"band='on' needs a feat_size > tile+128 and divisible by 128 "
             f"(got feat_size={feat_size}, tile={tile})"
         )
+    if repeat < 1 or b % repeat != 0:
+        raise ValueError(f"repeat={repeat} must divide the bag count {b}")
+    if group and (repeat % group != 0):
+        raise ValueError(f"group={group} must divide repeat={repeat}")
+    if repeat > 1 and not resident:
+        g = group or _pick_group(repeat, feat_size, d,
+                                 bank_feats.dtype.itemsize)
+        if g > 1:
+            return _gather_compact_grouped(
+                bank_feats, row_offsets, ranks, feat_size, num_patches,
+                interpret, tile, chunk_tiles, repeat, g, slab)
     if resident:
         # banded by default here too: round 3 first recorded this as a wash,
         # but that measurement was a jit-cache artifact (the script timed

@@ -332,3 +332,73 @@ def test_override_guards():
                          interpret=True, variant="tiled", tile=128,
                          chunk_tiles=9999)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_grouped_kernel_matches_golden_interpret():
+    """The slide-grouped kernel (``repeat``/``group``) == the XLA golden,
+    bitwise, with the engine's exact bag layout: the same slides tiled
+    ``repeat`` times with per-occurrence actions (``jnp.tile(both_ids, T)``,
+    engine/contrastive.py), ragged patch counts, banded and full one-hot,
+    every divisor group size, f32 and bf16 banks."""
+    rng = np.random.default_rng(17)
+    feats, clusters, bank = _bank(rng, batch=3, min_n=40, max_n=700)
+    repeat, feat_size = 4, 512
+    ids = jnp.asarray(np.tile([0, 2, 1], repeat), jnp.int32)  # (m, s)-major
+    actions = jnp.asarray(rng.random((len(ids), K)), jnp.float32)
+    for dtype in (jnp.bfloat16, jnp.float32):
+        bf = jnp.asarray(bank.feats, dtype)
+        ranks, row_offs, _ = select_ranks(
+            ids, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
+            jnp.asarray(bank.cluster_sizes), actions,
+            jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
+            feat_size=feat_size,
+        )
+        nump = jnp.asarray(bank.num_patches)[ids]
+        want = gather_compact_xla(bf, row_offs, ranks, feat_size)
+        for group in (2, 4):
+            for band in ("on", "off"):
+                got = gather_compact(bf, row_offs, ranks, feat_size,
+                                     num_patches=nump, interpret=True,
+                                     variant="tiled", band=band,
+                                     repeat=repeat, group=group)
+                np.testing.assert_array_equal(
+                    np.asarray(got), np.asarray(want),
+                    err_msg=f"{dtype.__name__} group={group} band={band}")
+    # auto group pick engages and stays exact
+    got = gather_compact(bf, row_offs, ranks, feat_size, num_patches=nump,
+                         interpret=True, repeat=repeat)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_grouped_kernel_guards_and_autopick():
+    """``repeat`` must divide the bag count, ``group`` must divide
+    ``repeat``; the auto pick respects the output-block VMEM budget and
+    falls back to the ungrouped kernel when no divisor fits."""
+    from murcl_tpu.ops.compact_pallas import _GROUP_OUT_BUDGET, _pick_group
+
+    rng = np.random.default_rng(23)
+    feats, clusters, bank = _bank(rng, batch=2, min_n=40, max_n=200)
+    ids = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    actions = jnp.asarray(rng.random((4, K)), jnp.float32)
+    ranks, row_offs, _ = select_ranks(
+        ids, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
+        jnp.asarray(bank.cluster_sizes), actions,
+        jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
+        feat_size=32,
+    )
+    bf = jnp.asarray(bank.feats, jnp.bfloat16)
+    with pytest.raises(ValueError, match="repeat"):
+        gather_compact(bf, row_offs, ranks, 32, interpret=True, repeat=3)
+    with pytest.raises(ValueError, match="group"):
+        gather_compact(bf, row_offs, ranks, 32, interpret=True, repeat=2,
+                       group=4)
+    # budget math: largest divisor whose 2x-buffered block fits
+    assert _pick_group(12, 1024, 512, 2) == 4
+    assert _pick_group(12, 1024, 512, 4) == 2
+    assert _pick_group(2, 1024, 512, 2) == 2
+    # a block too big for any divisor -> 1 (ungrouped fallback, still exact)
+    big = _GROUP_OUT_BUDGET  # feat*d*itemsize alone exceeds budget/2
+    assert _pick_group(12, big, 1, 1) == 1
+    got = gather_compact(bf, row_offs, ranks, 32, interpret=True, repeat=2)
+    want = gather_compact_xla(bf, row_offs, ranks, 32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
