@@ -454,11 +454,15 @@ def _gather_compact_grouped(bank_feats, row_offsets, ranks, feat_size: int,
     b_slides = b // repeat
     rg = repeat // group
     if not chunk_tiles:
-        # ~1 MB per double-buffered window slot: the output block takes the
-        # VMEM the ungrouped kernel spent on wide chunks, and each chunk now
-        # feeds `group` contractions, so the per-step fixed cost amortizes
-        # over group-fold more work anyway
-        chunk_rows = (1024 * 1024) // (d * bank_feats.dtype.itemsize)
+        # as much chunk as the VMEM budget allows next to the 2x-buffered
+        # output block: chunk granularity DOMINATES the grouped kernel's
+        # residual (measured, scripts/dbg_grouped_ablate.py — 8-tile chunks
+        # 8.92 ms vs whole-window 6.00 at the canonical shape, while the
+        # compare-volume and RMW ablations are washes). ~12 MB total keeps
+        # slack under the 16 MB scoped limit.
+        budget = 12 * 1024 * 1024 - 2 * group * feat_size * d * \
+            bank_feats.dtype.itemsize
+        chunk_rows = max(tile, (budget // 2) // (d * bank_feats.dtype.itemsize))
         chunk_tiles = max(1, min(n_tiles, chunk_rows // tile))
     else:
         chunk_tiles = min(chunk_tiles, n_tiles)

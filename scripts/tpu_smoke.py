@@ -319,6 +319,23 @@ def main():
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
     print("tiled compaction variant at Nmax~5k (skip + DMA pairing): OK")
 
+    # ---- slide-grouped compaction (engine repeat layouts) ------------------
+    # the same slides tiled repeat times (the rollout layouts): one window
+    # chunk DMA feeds all G same-slide one-hot contractions, accumulated in
+    # the revisited 5-D output block — exercise the real grouped DMA +
+    # RMW path (interpret mode cannot)
+    ids3 = jnp.asarray(np.tile([0, 3, 2, 1], 4), jnp.int32)
+    acts3 = jnp.asarray(rng.random((16, kk)), jnp.float32)
+    ranks3, offs3, _ = select_ranks(
+        ids3, big.offsets, big.num_patches, big.cluster_sizes, acts3,
+        big.patch_cluster, big.patch_pos, feat_size=1024)
+    want3 = gather_compact_xla(big.feats, offs3, ranks3, 1024)
+    got3 = gather_compact(big.feats, offs3, ranks3, 1024,
+                          num_patches=big.num_patches[ids3],
+                          repeat=4)  # auto group
+    np.testing.assert_array_equal(np.asarray(got3), np.asarray(want3))
+    print("slide-grouped compaction (repeat=4, shared window DMA): OK")
+
     print("TPU SMOKE: ALL OK")
 
 
