@@ -191,8 +191,10 @@ def _make_kernel_tiled(n_max: int, tile: int, feat_size: int, d: int,
         # 10x in patch count; Nmax is the split's maximum). The prefetch
         # site one step earlier recomputes the same predicate from the
         # prefetched scalars, so DMA starts and waits always pair up.
+        # The prefetch site evaluates live(nb, 0) on the final grid step;
+        # clamp the scalar index explicitly (advisor r4).
         def live(bag, ch):
-            return ch * chunk < nump_ref[bag]
+            return ch * chunk < nump_ref[jnp.minimum(bag, nb - 1)]
 
         # offsets arrive divided by 8 and are rescaled here: the HBM source
         # is (8, 128)-tiled, and Mosaic must PROVE the slice start is
@@ -308,15 +310,22 @@ def _make_kernel_grouped(n_max: int, tile: int, feat_size: int, d: int,
         li = gi * n_chunks + c
         slot = jax.lax.rem(li, 2)
 
+        nb = ng * group  # flat bag count
+
         def flat0(g):
             # flat bag index of the group's member 0 (all members share the
-            # slide, hence the offset and patch count)
+            # slide, hence the offset and patch count). The caller-guaranteed
+            # layout is validated on eager calls in gather_compact.
             go = jax.lax.div(g, b_slides)
             s = jax.lax.rem(g, b_slides)
             return go * (group * b_slides) + s
 
         def live(g, ch):
-            return ch * chunk < nump_ref[flat0(g)]
+            # the prefetch site evaluates live(ng, 0) on the final grid
+            # step; clamp explicitly rather than relying on OOB-index
+            # clamping plus the non-short-circuiting `nxt_g < ng` conjunct
+            # (advisor r4)
+            return ch * chunk < nump_ref[jnp.minimum(flat0(g), nb - 1)]
 
         def dma(g, ch, sl):
             return pltpu.make_async_copy(
@@ -501,9 +510,6 @@ def _gather_compact_grouped(bank_feats, row_offsets, ranks, feat_size: int,
     return out.reshape(b, feat_size, d)
 
 
-@partial(jax.jit, static_argnames=("feat_size", "interpret", "variant",
-                                   "band", "tile", "chunk_tiles", "repeat",
-                                   "group"))
 def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
                    num_patches=None, interpret: bool = False,
                    variant: str = "auto", band: str = "auto",
@@ -535,8 +541,46 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
     ``group=0`` auto-picks the largest divisor of ``repeat`` whose output
     block fits the VMEM budget; outputs are bitwise those of the ungrouped
     kernel. Passing ``repeat`` for a bag layout that does NOT repeat slides
-    reads the wrong windows — callers own this invariant.
+    reads the wrong windows — callers own this invariant; eager calls
+    (tests, smoke scripts — concrete arrays, not tracers) validate it here
+    (advisor r4).
     """
+    if repeat > 1 and not isinstance(row_offsets, jax.core.Tracer):
+        import numpy as _np
+
+        offs = _np.asarray(row_offsets)
+        if offs.shape[0] % repeat == 0:
+            per = offs.reshape(repeat, -1)
+            if not (per == per[0]).all():
+                raise ValueError(
+                    f"repeat={repeat} declares bag m*b+s selects from slide "
+                    "slot s's window for every m, but row_offsets differ "
+                    "across the repeat axis — the grouped kernel would "
+                    "compact from the wrong windows"
+                )
+            if num_patches is not None and not isinstance(
+                    num_patches, jax.core.Tracer):
+                nper = _np.asarray(num_patches).reshape(repeat, -1)
+                if not (nper == nper[0]).all():
+                    raise ValueError(
+                        f"repeat={repeat} requires num_patches identical "
+                        "across the repeat axis (same slides per slot)"
+                    )
+    return _gather_compact_jit(
+        bank_feats, row_offsets, ranks, feat_size=feat_size,
+        num_patches=num_patches, interpret=interpret, variant=variant,
+        band=band, tile=tile, chunk_tiles=chunk_tiles, repeat=repeat,
+        group=group)
+
+
+@partial(jax.jit, static_argnames=("feat_size", "interpret", "variant",
+                                   "band", "tile", "chunk_tiles", "repeat",
+                                   "group"))
+def _gather_compact_jit(bank_feats, row_offsets, ranks, feat_size: int,
+                        num_patches=None, interpret: bool = False,
+                        variant: str = "auto", band: str = "auto",
+                        tile: int = 0, chunk_tiles: int = 0,
+                        repeat: int = 1, group: int = 0):
     b, n_max = ranks.shape
     d = bank_feats.shape[1]
     if variant not in ("auto", "resident", "tiled"):
@@ -610,6 +654,19 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
         raise ValueError(f"repeat={repeat} must divide the bag count {b}")
     if group and (repeat % group != 0):
         raise ValueError(f"group={group} must divide repeat={repeat}")
+    if group > 1:
+        # mirror the auto-pick's VMEM ceiling on explicit overrides: past it
+        # the (group, feat, d) output block fails at compile time with an
+        # opaque Mosaic VMEM error (the known G=12 12.6 MB failure) —
+        # fail loudly instead (advisor r4)
+        out_bytes = 2 * group * feat_size * d * bank_feats.dtype.itemsize
+        if out_bytes > _GROUP_OUT_BUDGET:
+            raise ValueError(
+                f"group={group} needs a {out_bytes / 2 ** 20:.1f} MB "
+                f"double-buffered output block, past the "
+                f"{_GROUP_OUT_BUDGET / 2 ** 20:.0f} MB VMEM budget — "
+                f"use group<= {_pick_group(repeat, feat_size, d, bank_feats.dtype.itemsize)}"
+            )
     if repeat > 1 and not resident:
         g = group or _pick_group(repeat, feat_size, d,
                                  bank_feats.dtype.itemsize)

@@ -402,3 +402,53 @@ def test_grouped_kernel_guards_and_autopick():
     got = gather_compact(bf, row_offs, ranks, 32, interpret=True, repeat=2)
     want = gather_compact_xla(bf, row_offs, ranks, 32)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_grouped_layout_and_budget_guards():
+    """Advisor-r4 guards: an eager (non-traced) call with ``repeat`` whose
+    bag layout does NOT actually tile the same slides is rejected instead
+    of silently compacting from member 0's windows; a num_patches mismatch
+    across the repeat axis is rejected too; an explicit ``group`` override
+    whose output block exceeds the VMEM budget fails loudly at dispatch
+    instead of as an opaque Mosaic compile error."""
+    rng = np.random.default_rng(41)
+    feats, clusters, bank = _bank(rng, batch=4, min_n=40, max_n=200)
+    ids_bad = jnp.asarray([0, 1, 2, 3], jnp.int32)  # repeat=2 but 4 slides
+    actions = jnp.asarray(rng.random((4, K)), jnp.float32)
+    ranks, row_offs, _ = select_ranks(
+        ids_bad, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
+        jnp.asarray(bank.cluster_sizes), actions,
+        jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
+        feat_size=32,
+    )
+    bf = jnp.asarray(bank.feats, jnp.bfloat16)
+    with pytest.raises(ValueError, match="wrong windows"):
+        gather_compact(bf, row_offs, ranks, 32, interpret=True, repeat=2)
+    # valid offsets but inconsistent num_patches across the repeat axis
+    ids_ok = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    ranks2, row_offs2, _ = select_ranks(
+        ids_ok, jnp.asarray(bank.offsets), jnp.asarray(bank.num_patches),
+        jnp.asarray(bank.cluster_sizes), actions,
+        jnp.asarray(bank.patch_cluster), jnp.asarray(bank.patch_pos),
+        feat_size=32,
+    )
+    bad_nump = jnp.asarray(bank.num_patches)[jnp.asarray([0, 1, 2, 3])]
+    with pytest.raises(ValueError, match="num_patches"):
+        gather_compact(bf, row_offs2, ranks2, 32, interpret=True, repeat=2,
+                       num_patches=bad_nump)
+    # explicit over-budget group: the known G=12 failure shape (bf16,
+    # feat 1024, d 512 -> 12.6 MB double-buffered output block)
+    rng2 = np.random.default_rng(43)
+    feats2, clusters2, bank2 = _bank(rng2, batch=1, min_n=40, max_n=200)
+    ids12 = jnp.asarray([0] * 12, jnp.int32)
+    actions12 = jnp.asarray(rng2.random((12, K)), jnp.float32)
+    ranks12, row_offs12, _ = select_ranks(
+        ids12, jnp.asarray(bank2.offsets), jnp.asarray(bank2.num_patches),
+        jnp.asarray(bank2.cluster_sizes), actions12,
+        jnp.asarray(bank2.patch_cluster), jnp.asarray(bank2.patch_pos),
+        feat_size=128,
+    )
+    bf2 = jnp.asarray(np.zeros((bank2.feats.shape[0], 512)), jnp.bfloat16)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        gather_compact(bf2, row_offs12, ranks12, 1024, interpret=True,
+                       repeat=12, group=12)
