@@ -162,7 +162,8 @@ def _banded_slab(tile: int, feat_size: int) -> int:
 
 
 def _make_kernel_tiled(n_max: int, tile: int, feat_size: int, d: int,
-                       slab: int = 0, chunk_tiles: int = 1):
+                       slab: int = 0, chunk_tiles: int = 1,
+                       gate: bool = False):
     """Streaming compaction over ``grid = (B, n_chunks)``.
 
     Each grid step DMAs a CHUNK of ``chunk_tiles * tile`` window rows
@@ -229,12 +230,28 @@ def _make_kernel_tiled(n_max: int, tile: int, feat_size: int, d: int,
         @pl.when(live(i, t))
         def _():
             dma(i, t, slot).wait()
-            nump = nump_ref[i]
+            nump = nump_ref[i] if gate else None
             for j in range(chunk_tiles):
-                # tile j of this chunk; window position is t*chunk + j*tile
+                # tile j of this chunk; window position is t*chunk + j*tile.
+                # Default (gate=False): NO data-dependent per-tile gate —
+                # dead tiles past the slide's patch count hold only rank=-1
+                # rows (select.py pad positions never enter a window), whose
+                # one-hot rows are exact zeros, so computing them is
+                # golden-exact. The gated `tile_start < nump` pl.when cost
+                # 2.8 ms/step at the canonical shape (64 data-dependent
+                # branches break Mosaic's pipelining;
+                # scripts/dbg_grouped_gate.py: 8.79 -> 6.00 ms) while saving
+                # at most chunk_tiles-1 dead-tile matmuls per bag — live()
+                # still skips fully-dead chunks (DMA+compute) in ragged
+                # regimes. ``gate=True`` (static, ``ragged_gate``) restores
+                # the per-tile skip for regimes where dead-tile compute
+                # outweighs the branch cost. `tile_start < n_max` is affine
+                # in the grid index (last ceil-division chunk), ~free.
                 tile_start = t * chunk + j * tile
+                pred = (tile_start < n_max) if not gate else \
+                    ((tile_start < nump) & (tile_start < n_max))
 
-                @pl.when((tile_start < nump) & (tile_start < n_max))
+                @pl.when(pred)
                 def _(tile_start=tile_start, j=j):
                     ranks_t = _ranks_slice(ranks_ref, tile_start)
                     rows_t = rows_buf[slot, j * tile:(j + 1) * tile, :]
@@ -278,7 +295,7 @@ def _make_kernel_tiled(n_max: int, tile: int, feat_size: int, d: int,
 
 def _make_kernel_grouped(n_max: int, tile: int, feat_size: int, d: int,
                          group: int, b_slides: int, slab: int = 0,
-                         chunk_tiles: int = 1):
+                         chunk_tiles: int = 1, gate: bool = False):
     """Slide-grouped streaming compaction over ``grid = (B//group, n_chunks)``.
 
     The batched stage-1 layout tiles the same ``b`` slides ``repeat`` times
@@ -355,12 +372,19 @@ def _make_kernel_grouped(n_max: int, tile: int, feat_size: int, d: int,
         @pl.when(live(gi, c))
         def _():
             dma(gi, c, slot).wait()
-            nump = nump_ref[flat0(gi)]
+            nump = nump_ref[flat0(gi)] if gate else None
             for j in range(group):
                 for k in range(chunk_tiles):
+                    # no data-dependent per-tile gate by default — see the
+                    # tiled kernel's comment (dead tiles are all-rank=-1,
+                    # exact zeros; the gated pl.when cost 2.8 ms/step here:
+                    # scripts/dbg_grouped_gate.py, 8.79 -> 6.00 ms);
+                    # gate=True restores the skip for ragged regimes
                     tile_start = c * chunk + k * tile
+                    pred = (tile_start < n_max) if not gate else \
+                        ((tile_start < nump) & (tile_start < n_max))
 
-                    @pl.when((tile_start < nump) & (tile_start < n_max))
+                    @pl.when(pred)
                     def _(tile_start=tile_start, j=j, k=k):
                         ranks_t = ranks_ref[0, j, 0, :,
                                             pl.ds(tile_start, tile)]  # (1, tile)
@@ -455,7 +479,7 @@ def _pick_group(repeat: int, feat_size: int, d: int, itemsize: int) -> int:
 def _gather_compact_grouped(bank_feats, row_offsets, ranks, feat_size: int,
                             num_patches, interpret: bool, tile: int,
                             chunk_tiles: int, repeat: int, group: int,
-                            slab: int):
+                            slab: int, gate: bool):
     """Dispatch the slide-grouped tiled kernel (see :func:`gather_compact`)."""
     b, n_max = ranks.shape
     d = bank_feats.shape[1]
@@ -478,7 +502,7 @@ def _gather_compact_grouped(bank_feats, row_offsets, ranks, feat_size: int,
     n_chunks = -(-n_tiles // chunk_tiles)
     kernel = _make_kernel_grouped(n_max, tile, feat_size, d, group,
                                   b_slides, slab=slab,
-                                  chunk_tiles=chunk_tiles)
+                                  chunk_tiles=chunk_tiles, gate=gate)
 
     def im(gi, c, offs, nump):
         return (gi // b_slides, 0, gi % b_slides, 0, 0)
@@ -514,7 +538,8 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
                    num_patches=None, interpret: bool = False,
                    variant: str = "auto", band: str = "auto",
                    tile: int = 0, chunk_tiles: int = 0,
-                   repeat: int = 1, group: int = 0):
+                   repeat: int = 1, group: int = 0,
+                   ragged_gate: str = "auto"):
     """Compact selected bank rows into ``(B, feat_size, D)`` sub-bags.
 
     ``bank_feats (P, D)`` (P over-allocated by Nmax rows), ``row_offsets
@@ -544,6 +569,15 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
     reads the wrong windows — callers own this invariant; eager calls
     (tests, smoke scripts — concrete arrays, not tracers) validate it here
     (advisor r4).
+
+    ``ragged_gate`` (static): per-tile data-dependent skipping of dead
+    tiles past each slide's patch count. ``"off"`` = no per-tile gate (dead
+    tiles are all-rank=-1, exact zeros — golden-exact either way; the
+    gate's 64 branches per grid step cost 2.8 ms at the canonical shape,
+    scripts/dbg_grouped_gate.py); ``"on"`` = skip them (wins when dead
+    tiles are plentiful: 27.40 vs 30.46 ms at the TCGA shape,
+    scripts/dbg_gate_tcga.py). ``"auto"`` picks ``on`` iff Nmax >= 4096
+    (over-allocated ragged banks), ``off`` for compact windows.
     """
     if repeat > 1 and not isinstance(row_offsets, jax.core.Tracer):
         import numpy as _np
@@ -570,17 +604,18 @@ def gather_compact(bank_feats, row_offsets, ranks, feat_size: int,
         bank_feats, row_offsets, ranks, feat_size=feat_size,
         num_patches=num_patches, interpret=interpret, variant=variant,
         band=band, tile=tile, chunk_tiles=chunk_tiles, repeat=repeat,
-        group=group)
+        group=group, ragged_gate=ragged_gate)
 
 
 @partial(jax.jit, static_argnames=("feat_size", "interpret", "variant",
                                    "band", "tile", "chunk_tiles", "repeat",
-                                   "group"))
+                                   "group", "ragged_gate"))
 def _gather_compact_jit(bank_feats, row_offsets, ranks, feat_size: int,
                         num_patches=None, interpret: bool = False,
                         variant: str = "auto", band: str = "auto",
                         tile: int = 0, chunk_tiles: int = 0,
-                        repeat: int = 1, group: int = 0):
+                        repeat: int = 1, group: int = 0,
+                        ragged_gate: str = "auto"):
     b, n_max = ranks.shape
     d = bank_feats.shape[1]
     if variant not in ("auto", "resident", "tiled"):
@@ -667,13 +702,31 @@ def _gather_compact_jit(bank_feats, row_offsets, ranks, feat_size: int,
                 f"{_GROUP_OUT_BUDGET / 2 ** 20:.0f} MB VMEM budget — "
                 f"use group<= {_pick_group(repeat, feat_size, d, bank_feats.dtype.itemsize)}"
             )
+    if ragged_gate not in ("auto", "on", "off"):
+        raise ValueError(
+            f"ragged_gate must be 'auto', 'on' or 'off', got {ragged_gate!r}")
+    # per-tile data-dependent skip of dead tiles. The trade has both sides
+    # (both measured on v5e, golden-exact):
+    #   - canonical shape (Nmax 2048, uniform slides): the gate's 64
+    #     data-dependent branches per grid step break Mosaic's pipelining
+    #     for 2.8 ms/step while skipping nothing — OFF wins
+    #     (scripts/dbg_grouped_gate.py: 8.79 -> 6.00 ms).
+    #   - TCGA shape (Nmax 10240, slides 3k-10240): dead tiles past each
+    #     slide's patch count are ~1/3 of the window; skipping their
+    #     one-hot+matmul waste beats the branch cost — ON wins
+    #     (scripts/dbg_gate_tcga.py: 27.40 vs 30.46 ms).
+    # Dead-tile compute is golden-exact either way (rank=-1 rows one-hot to
+    # exact zeros), and live() always skips fully-dead CHUNKS. 'auto' picks
+    # by over-allocation: Nmax >= 4096 means a ragged bank padded to
+    # max_patches (dead tiles expected), below it windows are compact.
+    gate = (ragged_gate == "on") or (ragged_gate == "auto" and n_max >= 4096)
     if repeat > 1 and not resident:
         g = group or _pick_group(repeat, feat_size, d,
                                  bank_feats.dtype.itemsize)
         if g > 1:
             return _gather_compact_grouped(
                 bank_feats, row_offsets, ranks, feat_size, num_patches,
-                interpret, tile, chunk_tiles, repeat, g, slab)
+                interpret, tile, chunk_tiles, repeat, g, slab, gate)
     if resident:
         # banded by default here too: round 3 first recorded this as a wash,
         # but that measurement was a jit-cache artifact (the script timed
@@ -704,7 +757,7 @@ def _gather_compact_jit(bank_feats, row_offsets, ranks, feat_size: int,
         n_chunks = -(-n_tiles // chunk_tiles)
         grid = (b, n_chunks)
         kernel = _make_kernel_tiled(n_max, tile, feat_size, d, slab=slab,
-                                    chunk_tiles=chunk_tiles)
+                                    chunk_tiles=chunk_tiles, gate=gate)
         scratch = [
             pltpu.VMEM((2, chunk_tiles * tile, d), bank_feats.dtype),
             pltpu.VMEM((feat_size, d), jnp.float32),

@@ -167,6 +167,17 @@ def test_pallas_kernel_multi_tile_ragged_interpret():
     got2 = gather_compact(jnp.asarray(bank.feats), row_offs, ranks, 96,
                           interpret=True, variant="tiled")
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
+    # ragged_gate on/off (static key — distinct programs): the per-tile
+    # dead-tile skip must be output-invariant (dead tiles are all rank=-1)
+    for mode in ("on", "off"):
+        got3 = gather_compact(jnp.asarray(bank.feats), row_offs, ranks, 96,
+                              num_patches=nump, interpret=True,
+                              variant="tiled", ragged_gate=mode)
+        np.testing.assert_array_equal(np.asarray(got3), np.asarray(want),
+                                      err_msg=f"ragged_gate={mode}")
+    with pytest.raises(ValueError, match="ragged_gate"):
+        gather_compact(jnp.asarray(bank.feats), row_offs, ranks, 96,
+                       interpret=True, ragged_gate="bogus")
 
 
 
@@ -364,6 +375,14 @@ def test_grouped_kernel_matches_golden_interpret():
                 np.testing.assert_array_equal(
                     np.asarray(got), np.asarray(want),
                     err_msg=f"{dtype.__name__} group={group} band={band}")
+        # ragged_gate='on' (per-tile dead-tile skip) stays bitwise in the
+        # grouped kernel too
+        got = gather_compact(bf, row_offs, ranks, feat_size,
+                             num_patches=nump, interpret=True,
+                             variant="tiled", repeat=repeat, group=2,
+                             ragged_gate="on")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"{dtype.__name__} gate=on")
     # auto group pick engages and stays exact
     got = gather_compact(bf, row_offs, ranks, feat_size, num_patches=nump,
                          interpret=True, repeat=repeat)
