@@ -165,11 +165,17 @@ def extract_features(
     exist_ok: bool = False,
     imagenet_norm: bool = False,
     resize_on_device: bool = False,
+    decode_pool: str = "thread",
 ) -> None:
     """All coord jsons under ``patch_dir/coord`` -> feature npz per slide.
 
-    Double-buffered: slide i+1's patches decode on host threads while slide
+    Double-buffered: slide i+1's patches decode on host workers while slide
     i encodes on device. Skips existing npz (``extract_features.py:61-63``).
+    ``decode_pool='process'`` decodes through
+    :class:`murcl_tpu.preprocess.decode_pool.ProcessDecodePool` — true
+    multi-core scaling for the GIL-bound PIL decode (the thread default is
+    right for small hosts; a chip-saturating deployment needs ~tens of
+    decode cores, BASELINE.md).
     """
     patch_dir, save_dir = Path(patch_dir), Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
@@ -189,6 +195,12 @@ def extract_features(
 
     q: "queue.Queue" = queue.Queue(maxsize=2)  # double buffer
 
+    pool = None
+    if decode_pool == "process":
+        from murcl_tpu.preprocess.decode_pool import ProcessDecodePool
+
+        pool = ProcessDecodePool(num_workers)
+
     def producer():
         for cp in todo:
             coord = load_json(cp)
@@ -196,12 +208,19 @@ def extract_features(
                 # reference skips empty slides (extract_features.py:69-71)
                 print(f"{cp.stem}'s num_patches is 0, skip!")
                 continue
-            slide = open_slide(coord["slide_filepath"])
-            patches = _read_patches(
-                slide, coord["coords"], coord["patch_size_level0"],
-                coord["patch_size"], num_workers,
-                resize_on_host=not resize_on_device,
-            )
+            if pool is not None:
+                patches = pool.read_patches(
+                    coord["slide_filepath"], coord["coords"],
+                    coord["patch_size_level0"], coord["patch_size"],
+                    resize_on_host=not resize_on_device,
+                )
+            else:
+                slide = open_slide(coord["slide_filepath"])
+                patches = _read_patches(
+                    slide, coord["coords"], coord["patch_size_level0"],
+                    coord["patch_size"], num_workers,
+                    resize_on_host=not resize_on_device,
+                )
             q.put((cp.stem, coord, patches))
         q.put(None)
 
@@ -227,3 +246,5 @@ def extract_features(
         print(f"{stem}: {patches.shape[0]} patches -> {feats.shape} "
               f"({total_patches / dt:.1f} patches/sec cumulative)")
     t.join()
+    if pool is not None:
+        pool.close()

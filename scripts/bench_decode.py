@@ -71,6 +71,30 @@ def main():
             print(f"{tag} workers={workers}: best {best:.1f} patches/sec "
                   f"({n} patches x3 reps)", file=sys.stderr)
 
+    # process pool (decode_pool='process'): the multi-core scaling route.
+    # The fixture must exist on disk — workers open it by path.
+    from murcl_tpu.preprocess.decode_pool import ProcessDecodePool
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench_decode_"))
+    slide_path = str(tmp / "fixture.png")
+    Image.fromarray(img).save(slide_path)
+    for workers in (1, 2, 4):
+        with ProcessDecodePool(workers) as pool:
+            pool.read_patches(slide_path, coords[:8], PATCH_L0, PATCH)  # warm
+            for resize_on_host, tag in ((True, "resize_host"), (False, "raw")):
+                best = 0.0
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    out = pool.read_patches(slide_path, coords, PATCH_L0,
+                                            PATCH,
+                                            resize_on_host=resize_on_host)
+                    dt = time.perf_counter() - t0
+                    assert out.shape[0] == n
+                    best = max(best, n / dt)
+                results[f"proc_{tag}_w{workers}"] = round(best, 1)
+                print(f"process {tag} workers={workers}: best {best:.1f} "
+                      f"patches/sec", file=sys.stderr)
+
     best = max(results, key=results.get)
     print(json.dumps({
         "metric": "host_patch_staging_patches_per_sec",

@@ -171,6 +171,32 @@ def test_read_patches_raw_mode(monkeypatch):
     assert resized.shape == (3, 32, 32, 3)
 
 
+@pytest.mark.slow  # spawn-context workers cost a few seconds of startup
+def test_process_decode_pool_matches_threaded(tmp_path):
+    """ProcessDecodePool decodes the same pixels as the thread path."""
+    from PIL import Image
+
+    from murcl_tpu.preprocess.decode_pool import ProcessDecodePool
+    from murcl_tpu.preprocess.extract import _read_patches
+    from murcl_tpu.preprocess.slide_io import open_slide
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+    slide_path = tmp_path / "slide.png"
+    Image.fromarray(img).save(slide_path)
+
+    coords = [{"x": x, "y": y} for y in (0, 64, 128) for x in (0, 64, 192)]
+    want = _read_patches(open_slide(slide_path), coords, 64, 32,
+                         num_workers=1)
+    with ProcessDecodePool(2) as pool:
+        got = pool.read_patches(str(slide_path), coords, 64, 32)
+        raw = pool.read_patches(str(slide_path), coords, 64, 32,
+                                resize_on_host=False)
+    np.testing.assert_array_equal(got, want)
+    assert raw.shape == (len(coords), 64, 64, 3)
+    np.testing.assert_array_equal(raw[0], img[:64, :64])
+
+
 def _torchvision_resnet18_state_dict(rng):
     """A random state_dict in torchvision resnet18 layout (keys + shapes).
 

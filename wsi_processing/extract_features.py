@@ -37,6 +37,11 @@ def main():
                         help="ship raw level-0 uint8 patches and downscale on "
                              "the accelerator (removes PIL resize from the "
                              "host critical path; best on direct-attached TPU)")
+    parser.add_argument('--decode_pool', type=str, default='thread',
+                        choices=['thread', 'process'],
+                        help="patch decode workers: 'process' scales the "
+                             "GIL-bound PIL decode across cores (shared-"
+                             "memory pool); 'thread' is right for small hosts")
     args = parser.parse_args()
 
     if args.save_dir is not None:
@@ -49,6 +54,7 @@ def main():
         weights=args.weights, exist_ok=args.exist_ok,
         imagenet_norm=args.imagenet_norm,
         resize_on_device=args.resize_on_device,
+        decode_pool=args.decode_pool,
     )
 
 
