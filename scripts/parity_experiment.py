@@ -143,7 +143,46 @@ def run_reference(ds, root, overrides=None) -> pd.DataFrame:
 PRE_EPOCHS, FT_EPOCHS, PPO_EPOCHS, PRE_BATCH = 6, 20, 4, 4
 
 
-def _chain_hparams(seed: int = 985):
+def _chain_scale(real_dims: bool, **overrides) -> dict:
+    """Epoch/batch/lr budget for a chain run, trimmed for CPU hosts.
+
+    The toy scale reproduces the original --full-chain regime exactly. The
+    real-dims scale keeps every reference *dimension* (dim=512,
+    feat_size=1024, T=6, K=10, L=512/D=128/fc_hidden=1024) and the
+    runs/pretrain.sh -> runs/finetune.sh lr schedule — stages 1-2 at
+    1e-4/5e-5, stage 3 at 5e-5/1e-5, CosineAnnealingLR
+    (``runs/pretrain.sh:16-17,34-35``; ``runs/finetune.sh:20-21,39-40``) —
+    but trims epochs/batch IDENTICALLY on both sides so a seed-pair fits a
+    1-vCPU budget (the reference's 100+40-epoch batch-128 recipe is a
+    GPU-week, not a parity experiment).
+    """
+    if real_dims:
+        s = dict(pre_epochs=3, ft_epochs=5, ppo_epochs=2, pre_batch=4,
+                 data_repeat=1, scheduler="CosineAnnealingLR",
+                 stage_lrs={1: (1e-4, 5e-5), 2: (1e-4, 5e-5),
+                            3: (5e-5, 1e-5)})
+    else:
+        s = dict(pre_epochs=PRE_EPOCHS, ft_epochs=FT_EPOCHS,
+                 ppo_epochs=PPO_EPOCHS, pre_batch=PRE_BATCH, data_repeat=2,
+                 scheduler=None,
+                 stage_lrs={1: (LR, LR), 2: (LR, LR), 3: (LR, LR)})
+    for k, v in overrides.items():
+        if v is not None:
+            s[k] = v
+    return s
+
+
+def _chain_hparams(seed: int = 985, real_dims: bool = False):
+    if real_dims:
+        # reference-scale widths; PPO at the reference CLI defaults
+        # (train_MuRCL.py:446-449) and mixup alpha/temperature defaults
+        # (:422,:440) — pretrain.sh overrides none of them.
+        return dict(
+            dataset="parity_rd", feat_size=1024, T=6, device="cpu",
+            exist_ok=True, seed=seed,
+            fc_hidden_dim=1024, policy_hidden_dim=512, D=128,
+            ppo_lr=1e-5, K_epochs=3, action_std=0.5, ppo_gamma=0.1,
+        )
     return dict(
         dataset="parity", feat_size=FEAT, T=T, device="cpu",
         exist_ok=True, seed=seed,
@@ -153,7 +192,7 @@ def _chain_hparams(seed: int = 985):
     )
 
 
-def _chain_arch(arch: str) -> dict:
+def _chain_arch(arch: str, real_dims: bool = False) -> dict:
     """Per-arch chain settings (VERDICT r3 item 7: chains beyond ABMIL).
 
     - Pretraining supports only {ABMIL, CLAM_SB} (``train_MuRCL.py:487``);
@@ -182,6 +221,16 @@ def _chain_arch(arch: str) -> dict:
       (T=6, batch 1) never hits it; ours uses jnp.std (population, 0 for
       one element) and trains fine either way (PARITY.md).
     """
+    if real_dims:
+        # At reference dims every width is 512, so all three archs share one
+        # dataset and the CLAM feature-width quirk is consistent by
+        # construction. Finetune at batch 1 = the runs/finetune.sh regime
+        # (also the only batch the reference's CLAM/DSMIL train paths
+        # survive); T=6 is safe at batch 1 — the PPO reward-std NaN needs
+        # (T-1)*batch == 1 (models/rlmil.py:162), i.e. T=2.
+        pre = "CLAM_SB" if arch == "CLAM_SB" else "ABMIL"
+        return dict(dim=512, pre_arch=pre, model_dim=512, feature_num=512,
+                    L=512, ft_batch=1, T=6)
     if arch == "ABMIL":
         return dict(dim=DIM, pre_arch="ABMIL", model_dim=32, feature_num=32,
                     L=32, ft_batch=2, T=T)
@@ -195,23 +244,31 @@ def _chain_arch(arch: str) -> dict:
 
 
 def run_ours_chain(ds, root, arch: str = "ABMIL",
-                   dp_devices: int = 0, seed: int = 985) -> pd.DataFrame:
+                   dp_devices: int = 0, seed: int = 985,
+                   real_dims: bool = False,
+                   scale: dict | None = None) -> pd.DataFrame:
     from murcl_tpu.drivers import murcl, rlmil
 
-    hp = _chain_hparams(seed)
-    ac = _chain_arch(arch)
+    hp = _chain_hparams(seed, real_dims)
+    ac = _chain_arch(arch, real_dims)
+    sc = scale or _chain_scale(real_dims)
     hp["T"] = ac["T"]
     if dp_devices:
         # SPMD shard_map mode through the whole chain (PARITY.md §spmd)
         hp["dp_devices"] = dp_devices
+    proj = 128 if real_dims else 16
+    temp = 1.0 if real_dims else 0.5
     out = None
     for stage in (1, 2, 3):
+        blr, flr = sc["stage_lrs"][stage]
         args = murcl.default_args(
             data_csv=ds["data_csv"], data_split_json=ds["data_split_json"],
-            train_stage=stage, epochs=PRE_EPOCHS, ppo_epochs=PPO_EPOCHS,
-            data_repeat=2, batch_size=PRE_BATCH, arch=ac["pre_arch"],
-            model_dim=ac["model_dim"], projection_dim=16, temperature=0.5,
-            backbone_lr=LR, fc_lr=LR,
+            train_stage=stage, epochs=sc["pre_epochs"],
+            ppo_epochs=sc["ppo_epochs"],
+            data_repeat=sc["data_repeat"], batch_size=sc["pre_batch"],
+            arch=ac["pre_arch"],
+            model_dim=ac["model_dim"], projection_dim=proj, temperature=temp,
+            backbone_lr=blr, fc_lr=flr, scheduler=sc["scheduler"],
             base_save_dir=str(Path(root) / "ours_pretrain"), **hp,
         )
         out = murcl.run(args)
@@ -219,13 +276,16 @@ def run_ours_chain(ds, root, arch: str = "ABMIL",
 
     res = None
     for stage in (1, 2, 3):
+        blr, flr = sc["stage_lrs"][stage]
         args = rlmil.default_args(
             data_csv=ds["data_csv"], data_split_json=ds["data_split_json"],
-            train_method="finetune", train_stage=stage, epochs=FT_EPOCHS,
-            ppo_epochs=PPO_EPOCHS, batch_size=ac["ft_batch"], arch=arch,
+            train_method="finetune", train_stage=stage,
+            epochs=sc["ft_epochs"],
+            ppo_epochs=sc["ppo_epochs"], batch_size=ac["ft_batch"], arch=arch,
             L=ac["L"],
             model_dim=ac["model_dim"],
-            backbone_lr=LR, fc_lr=LR, checkpoint_pretrained=pretrained,
+            backbone_lr=blr, fc_lr=flr, scheduler=sc["scheduler"],
+            checkpoint_pretrained=pretrained,
             checkpoint_stage=None, save_model=True,
             base_save_dir=str(Path(root) / "ours_finetune"), **hp,
         )
@@ -234,11 +294,15 @@ def run_ours_chain(ds, root, arch: str = "ABMIL",
 
 
 def run_reference_chain(ds, root, arch: str = "ABMIL",
-                        seed: int = 985) -> pd.DataFrame:
+                        seed: int = 985, real_dims: bool = False,
+                        scale: dict | None = None) -> pd.DataFrame:
     _patch_reference_torch()
-    hp = _chain_hparams(seed)
-    ac = _chain_arch(arch)
+    hp = _chain_hparams(seed, real_dims)
+    ac = _chain_arch(arch, real_dims)
+    sc = scale or _chain_scale(real_dims)
     hp["T"] = ac["T"]
+    proj = 128 if real_dims else 16
+    temp = 1.0 if real_dims else 0.5
     sys.path.insert(0, "/root/reference")
     try:
         import train_MuRCL as refm
@@ -251,7 +315,7 @@ def run_reference_chain(ds, root, arch: str = "ABMIL",
 
         common = dict(
             data_csv=ds["data_csv"], data_split_json=ds["data_split_json"],
-            preload=True, optimizer="Adam", scheduler=None,
+            preload=True, optimizer="Adam", scheduler=sc["scheduler"],
             momentum=0.9, nesterov=True, beta1=0.9, beta2=0.999,
             warmup=0, wdecay=1e-5, patience=None,
             policy_conv=False, fc_rnn=True, dropout=0.0,
@@ -261,11 +325,14 @@ def run_reference_chain(ds, root, arch: str = "ABMIL",
         )
         pre_dir = None
         for stage in (1, 2, 3):
+            blr, flr = sc["stage_lrs"][stage]
             args = SimpleNamespace(
-                train_stage=stage, epochs=PRE_EPOCHS, ppo_epochs=PPO_EPOCHS,
-                data_repeat=2, batch_size=PRE_BATCH, checkpoint=None,
-                backbone_lr=LR, fc_lr=LR, temperature=0.5, alpha=0.9,
-                projection_dim=16, arch=ac["pre_arch"],
+                train_stage=stage, epochs=sc["pre_epochs"],
+                ppo_epochs=sc["ppo_epochs"],
+                data_repeat=sc["data_repeat"], batch_size=sc["pre_batch"],
+                checkpoint=None,
+                backbone_lr=blr, fc_lr=flr, temperature=temp, alpha=0.9,
+                projection_dim=proj, arch=ac["pre_arch"],
                 model_dim=ac["model_dim"], feature_num=ac["feature_num"],
                 base_save_dir=str(Path(root) / "reference_pretrain"),
                 **common,
@@ -276,11 +343,13 @@ def run_reference_chain(ds, root, arch: str = "ABMIL",
 
         ft_dir = None
         for stage in (1, 2, 3):
+            blr, flr = sc["stage_lrs"][stage]
             args = SimpleNamespace(
                 train_data="train", train_method="finetune",
-                train_stage=stage, epochs=FT_EPOCHS, ppo_epochs=PPO_EPOCHS,
+                train_stage=stage, epochs=sc["ft_epochs"],
+                ppo_epochs=sc["ppo_epochs"],
                 batch_size=ac["ft_batch"], checkpoint_stage=None,
-                checkpoint_pretrained=pretrained, backbone_lr=LR, fc_lr=LR,
+                checkpoint_pretrained=pretrained, backbone_lr=blr, fc_lr=flr,
                 picked_method="score", num_classes=2, arch=arch,
                 model_dim=ac["model_dim"],
                 feature_num=ac["feature_num"], load_fc=False, L=ac["L"],
@@ -316,7 +385,10 @@ def main():
                         help="run the FULL MuRCL pipeline both-implementations "
                              "on the synthetic fixture: 3-stage pretrain -> "
                              "3-stage finetune (runs/pretrain.sh -> "
-                             "runs/finetune.sh semantics), compare final AUC")
+                             "runs/finetune.sh semantics), compare final AUC. "
+                             "Composes with --real-dims (dim=512, "
+                             "feat_size=1024, T=6, K=10, stage-3 lr drop) "
+                             "and --seeds for the multi-seed study")
     parser.add_argument("--data_csv", type=str, default=None)
     parser.add_argument("--data_split_json", type=str, default=None)
     parser.add_argument("--arch", type=str, default="ABMIL",
@@ -333,13 +405,33 @@ def main():
                              "fixed, so different seeds train on identical "
                              "data — for run-to-run variance studies)")
     parser.add_argument("--slides", type=int, default=None,
-                        help="with --real-dims: synthetic-slide count "
-                             "(default 40 -> 10-slide test split; 100 gives "
-                             "a 25-slide test set, 4x finer AUC resolution)")
+                        help="synthetic-slide count (default 40 -> 10-slide "
+                             "test split at the 50/25/25 split; 160 gives a "
+                             "40-slide test set, 4x finer AUC resolution "
+                             "for the seed-variance study)")
     parser.add_argument("--spmd", type=int, default=0,
                         help="with --full-chain: run OUR chain in SPMD "
                              "shard_map mode (--dp_devices) over this many "
                              "virtual CPU devices")
+    parser.add_argument("--seeds", type=str, default=None,
+                        help="comma-separated list of training seeds; runs "
+                             "the chosen experiment once per seed and prints "
+                             "a per-seed + mean/sd summary (overrides "
+                             "--seed). Results stream to --out as each "
+                             "seed-pair finishes")
+    parser.add_argument("--out", type=str, default=None,
+                        help="JSON file to append per-seed reports to "
+                             "(written incrementally, survives kills)")
+    parser.add_argument("--pre_epochs", type=int, default=None,
+                        help="with --full-chain: pretrain epochs per stage")
+    parser.add_argument("--ft_epochs", type=int, default=None,
+                        help="with --full-chain: finetune epochs per stage")
+    parser.add_argument("--ppo_epochs", type=int, default=None,
+                        help="with --full-chain: stage-2 PPO epochs")
+    parser.add_argument("--pre_batch", type=int, default=None,
+                        help="with --full-chain: pretrain batch size")
+    parser.add_argument("--data_repeat", type=int, default=None,
+                        help="with --full-chain: pretrain data_repeat")
     cli = parser.parse_args()
 
     if cli.spmd and cli.spmd > 1:
@@ -353,16 +445,43 @@ def main():
         os.environ["XLA_FLAGS"] = " ".join(flags)
 
     root = tempfile.mkdtemp(prefix="parity_")
+    seeds = ([int(s) for s in cli.seeds.split(",")] if cli.seeds
+             else [cli.seed])
+
     if cli.full_chain:
-        ac = _chain_arch(cli.arch)
-        ds = make_dataset(root, dim=ac["dim"])
-        ours = run_ours_chain(ds, root, arch=cli.arch, dp_devices=cli.spmd,
-                              seed=cli.seed)
-        theirs = run_reference_chain(ds, root, arch=cli.arch, seed=cli.seed)
+        ac = _chain_arch(cli.arch, cli.real_dims)
+        scale = _chain_scale(cli.real_dims, pre_epochs=cli.pre_epochs,
+                             ft_epochs=cli.ft_epochs,
+                             ppo_epochs=cli.ppo_epochs,
+                             pre_batch=cli.pre_batch,
+                             data_repeat=cli.data_repeat)
+        if cli.real_dims:
+            slides = cli.slides or SLIDES
+            ds = make_dataset(root, dim=512, num_clusters=10,
+                              min_patches=1050, max_patches=1500,
+                              num_slides=slides)
+            regime = (f"REFERENCE dims ({slides} slides, dim=512, K=10, "
+                      f"1050-1500 patches, feat_size=1024, L=512, D=128, "
+                      f"fc_hidden=1024, CosineAnnealingLR w/ stage-3 lr "
+                      f"drop)")
+        else:
+            slides = SLIDES
+            ds = make_dataset(root, dim=ac["dim"])
+            regime = f"{SLIDES} synthetic slides, dim={ac['dim']}, K={K}, " \
+                     f"feat_size={FEAT}"
+
+        def run_one(seed):
+            ours = run_ours_chain(ds, root, arch=cli.arch,
+                                  dp_devices=cli.spmd, seed=seed,
+                                  real_dims=cli.real_dims, scale=scale)
+            theirs = run_reference_chain(ds, root, arch=cli.arch, seed=seed,
+                                         real_dims=cli.real_dims, scale=scale)
+            return ours, theirs
+
         desc = (f"FULL chain (pretrain 1-3 [{ac['pre_arch']}] -> finetune 1-3 "
-                f"[{cli.arch}]): {SLIDES} synthetic slides, dim={ac['dim']}, "
-                f"K={K}, feat_size={FEAT}, T={ac['T']}, "
-                f"{PRE_EPOCHS}+{FT_EPOCHS} epochs, ppo {PPO_EPOCHS}"
+                f"[{cli.arch}]): {regime}, T={ac['T']}, "
+                f"{scale['pre_epochs']}+{scale['ft_epochs']} epochs, "
+                f"ppo {scale['ppo_epochs']}, pre_batch {scale['pre_batch']}"
                 + (f", ours in SPMD mode over {cli.spmd} devices"
                    if cli.spmd and cli.spmd > 1 else ""))
     elif cli.real_dims:
@@ -387,10 +506,12 @@ def main():
             "scheduler": "CosineAnnealingLR",
             "L": 512, "D": 128, "fc_hidden_dim": 1024,
             "model_dim": 512, "feature_num": 512, "policy_hidden_dim": 512,
-            "seed": cli.seed,
         }
-        ours = run_ours(ds, root, overrides)
-        theirs = run_reference(ds, root, overrides)
+
+        def run_one(seed):
+            ov = dict(overrides, seed=seed)
+            return run_ours(ds, root, ov), run_reference(ds, root, ov)
+
         desc = (f"reference-dims scratch stage 1 ({cli.arch}): {slides} "
                 f"synthetic slides, dim=512, K=10, 1050-1500 patches/slide, "
                 f"feat_size={overrides['feat_size']}, T={overrides['T']}, "
@@ -406,25 +527,78 @@ def main():
             "feat_size": cli.feat_size or 1024, "T": cli.T or 6,
             "epochs": cli.epochs or 40, "batch_size": cli.batch_size or 64,
             "backbone_lr": 1e-4, "fc_lr": 1e-4, "L": 512, "D": 128,
-            "fc_hidden_dim": 1024, "seed": cli.seed,
+            "fc_hidden_dim": 1024,
         }
-        ours = run_ours(ds, root, overrides)
-        theirs = run_reference(ds, root, overrides)
+
+        def run_one(seed):
+            ov = dict(overrides, seed=seed)
+            return run_ours(ds, root, ov), run_reference(ds, root, ov)
+
         desc = f"real data: {cli.data_csv} ({cli.arch})"
     else:
-        ds = make_dataset(root)
-        ours = run_ours(ds, root, {"seed": cli.seed})
-        theirs = run_reference(ds, root, {"seed": cli.seed})
-        desc = (f"{SLIDES} synthetic slides, dim={DIM}, K={K}, "
+        slides = cli.slides or SLIDES
+        # per-arch toy settings mirror _chain_arch: CLAM_SB needs
+        # dim_patch=512 (the reference feature-width quirk, PARITY.md) and
+        # CLAM/DSMIL train at batch 1 (reference batched-train crash);
+        # scratch stage 1 has no PPO so batch 1 + T=2 is NaN-safe
+        if cli.arch == "CLAM_SB":
+            dim = 512
+            extra = {"arch": cli.arch, "batch_size": 1,
+                     "model_dim": 512, "feature_num": 512,
+                     "policy_hidden_dim": 512}
+        elif cli.arch == "DSMIL":
+            dim = DIM
+            extra = {"arch": cli.arch, "batch_size": 1}
+        else:
+            dim, extra = DIM, {}
+        ds = make_dataset(root, dim=dim, num_slides=slides)
+
+        def run_one(seed):
+            ov = dict(extra, seed=seed)
+            return run_ours(ds, root, ov), run_reference(ds, root, ov)
+
+        desc = (f"{slides} synthetic slides ({cli.arch}), dim={dim}, K={K}, "
                 f"feat_size={FEAT}, T={T}, {EPOCHS} epochs")
-    report = {
-        "dataset": desc,
-        "ours": {c: float(ours.iloc[0][c]) for c in ours.columns},
-        "reference": {c: float(theirs.iloc[0][c]) for c in theirs.columns},
-        "auc_gap": abs(float(ours.iloc[0]["auc"]) - float(theirs.iloc[0]["auc"])),
-    }
-    print(json.dumps(report, indent=2))
-    return report
+
+    import time
+
+    reports = []
+    for seed in seeds:
+        t0 = time.time()
+        ours, theirs = run_one(seed)
+        report = {
+            "dataset": desc, "arch": cli.arch, "seed": seed,
+            "minutes": round((time.time() - t0) / 60, 1),
+            "ours": {c: float(ours.iloc[0][c]) for c in ours.columns},
+            "reference": {c: float(theirs.iloc[0][c])
+                          for c in theirs.columns},
+            "auc_gap": abs(float(ours.iloc[0]["auc"])
+                           - float(theirs.iloc[0]["auc"])),
+            "auc_gap_signed": float(ours.iloc[0]["auc"])
+                              - float(theirs.iloc[0]["auc"]),
+        }
+        reports.append(report)
+        print(json.dumps(report, indent=2), flush=True)
+        if cli.out:
+            Path(cli.out).write_text(json.dumps(reports, indent=2))
+
+    if len(reports) > 1:
+        gaps = np.array([r["auc_gap_signed"] for r in reports])
+        summary = {
+            "seeds": seeds, "arch": cli.arch,
+            "auc_gap_signed_mean": float(gaps.mean()),
+            "auc_gap_signed_sd": float(gaps.std(ddof=1)),
+            "auc_gap_abs_mean": float(np.abs(gaps).mean()),
+            "ours_wins": int((gaps > 0).sum()),
+            "reference_wins": int((gaps < 0).sum()),
+            "ties": int((gaps == 0).sum()),
+        }
+        print("SUMMARY " + json.dumps(summary), flush=True)
+        if cli.out:
+            Path(cli.out).write_text(
+                json.dumps({"runs": reports, "summary": summary}, indent=2))
+        return summary
+    return reports[0]
 
 
 if __name__ == "__main__":
