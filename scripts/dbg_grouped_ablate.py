@@ -2,8 +2,10 @@
 """Attribute the slide-grouped compaction kernel's time (post-DMA-cut).
 
 Grouping the window DMA (dbg_compact_grouped.py) exposed the kernel's
-compute side: 9.08 ms at g=4 vs a ~4.3 ms memory floor. Standalone
-variants of the grouped kernel isolate where the residual goes:
+compute side, and the r5 gate removal (dbg_grouped_gate.py) cut it to
+6.00 ms at g=4 vs a ~4.3 ms memory floor. Standalone variants of the
+grouped NO-GATE production formulation isolate where the residual
+~1.7 ms goes:
 
   full       the production grouped formulation (g=4, band, tile=128)
   dmafloor   chunk DMA + output write only — the grouped memory floor
@@ -112,37 +114,38 @@ def main():
 
             iota_s = jax.lax.broadcasted_iota(jnp.int32, (slab, TILE), 0)
             const_oh = (iota_s < 1).astype(rows_buf.dtype)  # noonehot reuse
+            # No per-tile liveness gate: matches the r5 production
+            # formulation (ragged_gate off below the Nmax>=4096 threshold;
+            # the gate measured as 2.8 ms of branch stalls,
+            # scripts/dbg_grouped_gate.py). Every tile here is live anyway
+            # (NMAX % chunk == 0 at this shape).
             for j in range(GROUP):
                 for k in range(chunk_tiles):
                     tile_start = c * chunk + k * TILE
-
-                    @pl.when(tile_start < NMAX)
-                    def _(tile_start=tile_start, j=j, k=k):
-                        ranks_t = ranks_ref[0, j, 0, :,
-                                            pl.ds(tile_start, TILE)]
-                        rows_t = rows_buf[slot, k * TILE:(k + 1) * TILE, :]
-                        base = base_ref[j, 0]
-                        base_al = jnp.minimum((base // 128) * 128,
-                                              jnp.int32(FEAT - slab))
-                        start = pl.multiple_of(base_al, 128)
-                        if mode == "noonehot":
-                            oh = const_oh
-                        elif mode == "leanoh":
-                            oh = (iota_s == (ranks_t - base_al)).astype(
-                                rows_buf.dtype)
-                        else:
-                            oh = (iota_s + base_al == ranks_t).astype(
-                                rows_buf.dtype)
-                        prod = jnp.dot(oh, rows_t,
-                                       preferred_element_type=jnp.float32)
-                        if mode == "normw":
-                            out_ref[0, j, 0, pl.ds(start, slab), :] = \
-                                prod.astype(out_ref.dtype)
-                        else:
-                            out_ref[0, j, 0, pl.ds(start, slab), :] += \
-                                prod.astype(out_ref.dtype)
-                        base_ref[j, 0] = base + jnp.sum(
-                            (ranks_t >= 0).astype(jnp.int32))
+                    ranks_t = ranks_ref[0, j, 0, :, pl.ds(tile_start, TILE)]
+                    rows_t = rows_buf[slot, k * TILE:(k + 1) * TILE, :]
+                    base = base_ref[j, 0]
+                    base_al = jnp.minimum((base // 128) * 128,
+                                          jnp.int32(FEAT - slab))
+                    start = pl.multiple_of(base_al, 128)
+                    if mode == "noonehot":
+                        oh = const_oh
+                    elif mode == "leanoh":
+                        oh = (iota_s == (ranks_t - base_al)).astype(
+                            rows_buf.dtype)
+                    else:
+                        oh = (iota_s + base_al == ranks_t).astype(
+                            rows_buf.dtype)
+                    prod = jnp.dot(oh, rows_t,
+                                   preferred_element_type=jnp.float32)
+                    if mode == "normw":
+                        out_ref[0, j, 0, pl.ds(start, slab), :] = \
+                            prod.astype(out_ref.dtype)
+                    else:
+                        out_ref[0, j, 0, pl.ds(start, slab), :] += \
+                            prod.astype(out_ref.dtype)
+                    base_ref[j, 0] = base + jnp.sum(
+                        (ranks_t >= 0).astype(jnp.int32))
 
         return kernel, n_chunks
 
